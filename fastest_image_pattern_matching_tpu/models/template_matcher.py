@@ -1,0 +1,389 @@
+"""Coarse-to-fine rotation-invariant NCC template matching — the TPU-native
+equivalent of the reference's Match() pipeline (MatchTool/MatchToolDlg.cpp:772-1148)
+and LearnPattern (:453-491).
+
+Architecture (vs the reference's per-angle C++ loops):
+  * learn_pattern: host-side, float64 stats (tiny, once per template).
+  * match: one compiled XLA program per (source shape, template shape,
+    config) — pyramid build, batched top-layer angle sweep (angle loop ->
+    batched warp + one MXU correlation), vectorized greedy peak extraction,
+    masked fixed-depth candidate descent (per-candidate loops -> vmapped
+    chunked batches), batched subpixel solve, on-device rotated-rect NMS.
+  * All shapes static; per-angle canvas-size variation handled by masking
+    into a max-canvas, per-candidate early exits by alive masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import D2R, MATCH_CANDIDATE_NUM, MatchConfig, R2D, VISION_TOLERANCE
+from ..types import LearnedPattern, LevelData, MatchResult
+from ..utils import geometry
+from ..utils.chunking import chunked_map
+from ..ops.pyramid import build_pyramid, pyr_down
+from ..ops.ncc import ncc_score_map
+from ..ops.peaks import extract_peaks
+from ..ops.nms import filter_overlaps, rotated_rect_corners
+from ..ops.subpixel import subpixel_refine
+from ..ops.warp import (make_rotation_invmaps, rotate_pt_jnp,
+                        warp_affine_batch)
+
+DBL_EPSILON = 2.220446049250313e-16
+
+# HBM budget per chunked stage, in f32 elements (~64 MB).
+_CHUNK_BUDGET_ELEMS = 16 * 1024 * 1024
+
+
+def learn_pattern(templ: np.ndarray, min_reduce_area: int = 256) -> LearnedPattern:
+    """Build the template pyramid + per-level stats (LearnPattern,
+    MatchToolDlg.cpp:453-491). Stats in float64 on host, pyramid via the
+    same device pyr_down used for the source (bit-identical levels)."""
+    templ = np.asarray(templ)
+    if templ.ndim == 3:
+        templ = templ[..., 0]
+    templ = templ.astype(np.float32)
+
+    top = geometry.top_layer(templ.shape, min_reduce_area)
+    pyr = [np.asarray(p) for p in build_pyramid(jnp.asarray(templ), top)]
+
+    levels: List[LevelData] = []
+    for p in pyr:
+        area = p.shape[0] * p.shape[1]
+        inv_area = 1.0 / float(area)
+        mean = float(np.mean(p, dtype=np.float64))
+        var = float(np.mean((p.astype(np.float64) - mean) ** 2))
+        equal1 = var < DBL_EPSILON
+        norm = np.sqrt(var) * np.sqrt(float(area))
+        levels.append(LevelData(templ=p, mean=mean, norm=float(norm),
+                                inv_area=inv_area, result_equal1=equal1))
+    border_color = 255 if float(np.mean(pyr[0], dtype=np.float64)) < 128 else 0
+    return LearnedPattern(levels=levels, border_color=border_color,
+                          min_reduce_area=min_reduce_area)
+
+
+@dataclasses.dataclass(frozen=True)
+class _Plan:
+    """Static match plan — everything shape-determining, host-computed."""
+    src_hw: Tuple[int, int]
+    templ_shapes: Tuple[Tuple[int, int], ...]
+    top: int
+    stop: int
+    angles: Tuple[float, ...]
+    canvas_hw: Tuple[int, int]
+    k_peaks: int
+    c_max: int
+    k_ang: int
+    layer_scores: Tuple[float, ...]
+    border_color: int
+    cfg: MatchConfig
+
+
+def _make_plan(src_hw, pattern: LearnedPattern, cfg: MatchConfig) -> _Plan:
+    top = pattern.top_layer
+    shapes = tuple(pattern.shapes)
+    top_hw = shapes[top]
+    angles = tuple(geometry.angle_schedule(
+        top_hw, cfg.tolerance_angle, cfg.tolerance_ranges))
+    src_sizes = geometry.pyramid_sizes(src_hw, top)
+    src_top_hw = src_sizes[top]
+    src_top_wh = (src_top_hw[1], src_top_hw[0])
+    templ_top_wh = (top_hw[1], top_hw[0])
+    best = [geometry.best_rotation_size(src_top_wh, templ_top_wh, a)
+            for a in angles]
+    canvas_w = max(max(b[0] for b in best), templ_top_wh[0])
+    canvas_h = max(max(b[1] for b in best), templ_top_wh[1])
+
+    layer_scores = [cfg.score]
+    for _ in range(top):
+        layer_scores.append(layer_scores[-1] * 0.9)
+
+    k_peaks = cfg.max_pos + MATCH_CANDIDATE_NUM
+    c_max = min(cfg.effective_max_candidates, len(angles) * k_peaks)
+    single_angle = (cfg.tolerance_ranges is None
+                    and cfg.tolerance_angle < VISION_TOLERANCE)
+    return _Plan(
+        src_hw=tuple(src_hw), templ_shapes=shapes, top=top,
+        stop=1 if cfg.fast_mode else 0, angles=angles,
+        canvas_hw=(canvas_h, canvas_w), k_peaks=k_peaks, c_max=c_max,
+        k_ang=1 if single_angle else 3,
+        layer_scores=tuple(layer_scores), border_color=pattern.border_color,
+        cfg=cfg)
+
+
+def _top_sweep_arrays(plan: _Plan):
+    """Host-computed per-angle constants: inverse warp maps, translations,
+    valid score-map extents (all static given the plan)."""
+    sh, sw = geometry.pyramid_sizes(plan.src_hw, plan.top)[plan.top]
+    cx, cy = (sw - 1) / 2.0, (sh - 1) / 2.0
+    th, tw = plan.templ_shapes[plan.top]
+    inv_mats, trans, valid_wh = [], [], []
+    for a in plan.angles:
+        bw, bh = geometry.best_rotation_size((sw, sh), (tw, th), a)
+        t = ((bw - 1) / 2.0 - cx, (bh - 1) / 2.0 - cy)
+        m = geometry.rotation_matrix((cx, cy), a)
+        m[0, 2] += t[0]
+        m[1, 2] += t[1]
+        inv_mats.append(geometry.invert_affine(m))
+        trans.append(t)
+        valid_wh.append((bw, bh))
+    return (np.array(inv_mats, np.float32), np.array(trans, np.float32),
+            np.array(valid_wh, np.int32), np.array(plan.angles, np.float32))
+
+
+def _build_match_fn(plan: _Plan, stats):
+    """Build the jitted end-to-end match program for a static plan."""
+    cfg = plan.cfg
+    top, stop = plan.top, plan.stop
+    th_t, tw_t = plan.templ_shapes[top]
+    Hc, Wc = plan.canvas_hw
+    A = len(plan.angles)
+    K = plan.k_peaks
+    C = plan.c_max
+    k_ang = plan.k_ang
+
+    src_sizes = geometry.pyramid_sizes(plan.src_hw, top)
+
+    def top_sweep(src_top, templ_top, inv_mats, trans, valid_wh,
+                  angles_arr):
+        stats_top = stats[top]
+        xs = jax.lax.broadcasted_iota(jnp.int32, (Hc - th_t + 1, Wc - tw_t + 1), 1)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (Hc - th_t + 1, Wc - tw_t + 1), 0)
+
+        def sweep_chunk(args):
+            inv_m, vwh = args
+            canv = warp_affine_batch(
+                src_top, inv_m, (Hc, Wc), float(plan.border_color),
+                quantize=cfg.quantize_warp)
+            smap = ncc_score_map(
+                canv, templ_top, stats_top[0], stats_top[1], stats_top[2],
+                stats_top[3], cfg.compute_dtype)
+            ok = ((xs[None] <= (vwh[:, 0] - tw_t)[:, None, None])
+                  & (ys[None] <= (vwh[:, 1] - th_t)[:, None, None]))
+            smap = jnp.where(ok, smap, jnp.float32(-1.0))
+            vals, locs = extract_peaks(smap, K, (tw_t, th_t), cfg.max_overlap)
+            return vals, locs
+
+        chunk = max(1, _CHUNK_BUDGET_ELEMS // (Hc * Wc * 4))
+        vals, locs = chunked_map(sweep_chunk, (inv_mats, valid_wh), A, chunk)
+
+        # Candidate selection: flatten, threshold, global top-C (the
+        # reference sorts all candidates by score, MatchToolDlg.cpp:890).
+        vals_f = vals.reshape(A * K)
+        locs_f = locs.reshape(A * K, 2)
+        ok = vals_f >= jnp.float32(plan.layer_scores[top])
+        masked = jnp.where(ok, vals_f, jnp.float32(-1.0))
+        top_vals, top_idx = jax.lax.top_k(masked, C)
+        aidx = top_idx // K
+        pt = locs_f[top_idx].astype(jnp.float32) - trans[aidx]
+        ang = angles_arr[aidx]
+        alive = top_vals >= jnp.float32(plan.layer_scores[top])
+        return pt, ang, top_vals, alive
+
+    def descend_layer(l, src_l, templ_l, ptLT, ang, score, alive):
+        stats_l = stats[l]
+        """One pyramid-descent step for all candidates (chunked)."""
+        sh_l, sw_l = src_sizes[l]
+        th_l, tw_l = plan.templ_shapes[l]
+        center = (jnp.float32((sw_l - 1) / 2.0), jnp.float32((sh_l - 1) / 2.0))
+        step_deg = geometry.angle_step((th_l, tw_l))
+        roi_hw = (th_l + 6, tw_l + 6)
+
+        if k_ang == 1:
+            angs = jnp.zeros((C, 1), jnp.float32)
+        else:
+            offs = jnp.array([-step_deg, 0.0, step_deg], jnp.float32)
+            angs = ang[:, None] + offs[None, :]
+
+        ptLT2 = ptLT * 2.0
+
+        def cand_chunk(args):
+            p2, aa = args  # [cc,2], [cc,k_ang]
+            cc = p2.shape[0]
+            a_flat = aa.reshape(cc * k_ang)
+            p2_rep = jnp.repeat(p2, k_ang, axis=0)
+            lt_rot = rotate_pt_jnp(p2_rep, jnp.stack(center), a_flat * D2R)
+            shift = -(lt_rot - 3.0)
+            invm = make_rotation_invmaps(center, a_flat, shift)
+            roi = warp_affine_batch(src_l, invm, roi_hw, 0.0,
+                                    quantize=cfg.quantize_warp)
+            smap = ncc_score_map(roi, templ_l, stats_l[0], stats_l[1],
+                                 stats_l[2], stats_l[3],
+                                 cfg.compute_dtype)  # [cc*k, 7, 7]
+            flat = smap.reshape(cc * k_ang, 49)
+            fi = jnp.argmax(flat, axis=1)
+            v = flat[jnp.arange(cc * k_ang), fi]
+            py = (fi // 7).astype(jnp.int32)
+            px = (fi % 7).astype(jnp.int32)
+            border = (px == 0) | (px == 6) | (py == 0) | (py == 6)
+            sy = jnp.clip(py - 1, 0, 4)
+            sx = jnp.clip(px - 1, 0, 4)
+            patch = jax.vmap(
+                lambda m, y0, x0: jax.lax.dynamic_slice(m, (y0, x0), (3, 3))
+            )(smap, sy, sx)
+            return (v.reshape(cc, k_ang),
+                    jnp.stack([px, py], -1).reshape(cc, k_ang, 2),
+                    border.reshape(cc, k_ang),
+                    patch.reshape(cc, k_ang, 3, 3))
+
+        chunk = max(1, _CHUNK_BUDGET_ELEMS // (roi_hw[0] * roi_hw[1] * k_ang * 8))
+        v, xy, border, patch = chunked_map(cand_chunk, (ptLT2, angs), C, chunk)
+
+        imax = jnp.argmax(v, axis=1)  # strict-greater first-wins, like :993
+        ar = jnp.arange(C)
+        best_v = v[ar, imax]
+        best_xy = xy[ar, imax].astype(jnp.float32)
+        best_border = border[ar, imax]
+        best_ang = angs[ar, imax]
+        alive = alive & (best_v >= jnp.float32(plan.layer_scores[l]))
+        score = best_v
+
+        use_subpix = (cfg.use_subpixel and l == 0 and k_ang == 3)
+        if use_subpix:
+            sub = subpixel_refine(patch, jnp.float32(step_deg * D2R))
+            gate = (imax == 1) & ~best_border
+            best_xy = jnp.where(gate[:, None], best_xy + sub[:, :2], best_xy)
+            best_ang = jnp.where(gate, best_ang + sub[:, 2] * R2D, best_ang)
+
+        pad_lt = rotate_pt_jnp(ptLT2, jnp.stack(center), best_ang * D2R) - 3.0
+        pt = best_xy + pad_lt
+        pt = rotate_pt_jnp(pt, jnp.stack(center), -best_ang * D2R)
+        return pt, best_ang, score, alive
+
+    def match_fn(src, templs, inv_mats, trans, valid_wh, angles_arr):
+        if cfg.bitwise_not:
+            src = 255.0 - src
+        pyr = build_pyramid(src, top)
+
+        pt, ang, score, alive = top_sweep(
+            pyr[top], templs[top], inv_mats, trans, valid_wh,
+            angles_arr)
+
+        sh_t, sw_t = src_sizes[top]
+        center_top = jnp.array([(sw_t - 1) / 2.0, (sh_t - 1) / 2.0],
+                               jnp.float32)
+        ptLT = rotate_pt_jnp(pt, center_top, -ang * D2R)
+
+        if top <= stop:
+            scale = 1.0 if top == 0 else 2.0
+            final_pt = ptLT * scale
+            final_ang = ang
+        else:
+            for l in range(top - 1, stop - 1, -1):
+                ptLT, ang, score, alive = descend_layer(
+                    l, pyr[l], templs[l], ptLT, ang, score, alive)
+            scale = 1.0 if stop == 0 else 2.0
+            final_pt = ptLT * scale
+            final_ang = ang
+
+        # FilterWithScore (MatchToolDlg.cpp:1481-1497): sort desc + cut.
+        ok = alive & (score >= jnp.float32(cfg.score))
+        svals = jnp.where(ok, score, jnp.float32(-1.0))
+        order = jnp.argsort(-svals, stable=True)
+        score_s = svals[order]
+        pt_s = final_pt[order]
+        ang_s = final_ang[order]
+        ok_s = ok[order]
+
+        # FilterWithRotatedRect (:1498-1557) on stop-layer-scaled dims.
+        th0, tw0 = plan.templ_shapes[stop]
+        rw = tw0 * (1.0 if stop == 0 else 2.0)
+        rh = th0 * (1.0 if stop == 0 else 2.0)
+        quads = rotated_rect_corners(pt_s, ang_s, rw, rh)
+        keep = filter_overlaps(quads, ok_s, rw * rh, cfg.max_overlap)
+
+        svals2 = jnp.where(keep, score_s, jnp.float32(-1.0))
+        ord2 = jnp.argsort(-svals2, stable=True)[: cfg.max_pos]
+        r_score = svals2[ord2]
+        r_pt = pt_s[ord2]
+        r_ang = ang_s[ord2]
+        r_ok = keep[ord2] & (svals2[ord2] >= 0)
+
+        # Result assembly (MatchToolDlg.cpp:1082-1099): level-0 dims, angle
+        # negation + wrap to (-180, 180].
+        H0, W0 = plan.templ_shapes[0]
+        corners = rotated_rect_corners(r_pt, r_ang, float(W0), float(H0))
+        center = jnp.mean(corners, axis=-2)
+        out_ang = -r_ang
+        out_ang = jnp.where(out_ang < -180.0, out_ang + 360.0, out_ang)
+        out_ang = jnp.where(out_ang > 180.0, out_ang - 360.0, out_ang)
+        return dict(score=r_score, angle=out_ang, corners=corners,
+                    center=center, valid=r_ok)
+
+    return jax.jit(match_fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled(plan: _Plan, stats):
+    return _build_match_fn(plan, stats)
+
+
+class TemplateMatcher:
+    """Convenience OO wrapper mirroring the Qt TemplateMatcher surface
+    (include/TemplateMatcher.h:16-51): learnPattern / match / param setters.
+    The functional core stays pure; this class only holds config + pattern.
+    """
+
+    def __init__(self, config: Optional[MatchConfig] = None):
+        self.config = config or MatchConfig()
+        self.pattern: Optional[LearnedPattern] = None
+
+    def learn_pattern(self, templ: np.ndarray) -> None:
+        self.pattern = learn_pattern(templ, self.config.min_reduce_area)
+
+    def match(self, src: np.ndarray) -> List[MatchResult]:
+        if self.pattern is None:
+            raise RuntimeError("learn_pattern must be called first")
+        return match(src, self.pattern, self.config)
+
+
+def match_arrays(src: np.ndarray, pattern: LearnedPattern,
+                 cfg: MatchConfig) -> Dict[str, np.ndarray]:
+    """Run the compiled pipeline; returns fixed-size result arrays
+    (score/angle/corners/center [max_pos], valid mask)."""
+    src = np.asarray(src)
+    if src.ndim == 3:
+        src = src[..., 0]
+    # Guards per Match() (MatchToolDlg.cpp:774-781).
+    t0 = pattern.levels[0].templ
+    if (t0.shape[0] > src.shape[0] and t0.shape[1] < src.shape[1]) or \
+       (t0.shape[0] < src.shape[0] and t0.shape[1] > src.shape[1]):
+        raise ValueError("template/source size relation unsupported")
+    if t0.shape[0] * t0.shape[1] > src.shape[0] * src.shape[1]:
+        raise ValueError("template larger than source")
+
+    plan = _make_plan(src.shape, pattern, cfg)
+    inv_mats, trans, valid_wh, angles_arr = _top_sweep_arrays(plan)
+    stats = tuple((lv.mean, lv.norm, lv.inv_area, lv.result_equal1)
+                  for lv in pattern.levels)
+    fn = _compiled(plan, stats)
+    templs = tuple(jnp.asarray(lv.templ) for lv in pattern.levels)
+    out = fn(jnp.asarray(src, jnp.float32), templs,
+             jnp.asarray(inv_mats), jnp.asarray(trans),
+             jnp.asarray(valid_wh), jnp.asarray(angles_arr))
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def match(src: np.ndarray, pattern: LearnedPattern,
+          cfg: Optional[MatchConfig] = None) -> List[MatchResult]:
+    """Find template instances in src; returns MatchResults sorted by score
+    desc, at most cfg.max_pos entries."""
+    cfg = cfg or MatchConfig()
+    out = match_arrays(src, pattern, cfg)
+    results = []
+    for i in range(out["valid"].shape[0]):
+        if not out["valid"][i]:
+            continue
+        c = out["corners"][i]
+        results.append(MatchResult(
+            score=float(out["score"][i]), angle=float(out["angle"][i]),
+            center=tuple(out["center"][i].tolist()),
+            lt=tuple(c[0].tolist()), rt=tuple(c[1].tolist()),
+            rb=tuple(c[2].tolist()), lb=tuple(c[3].tolist())))
+    return results

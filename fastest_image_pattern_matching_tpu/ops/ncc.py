@@ -1,0 +1,115 @@
+"""Fused normalized cross-correlation (TM_CCOEFF_NORMED) score maps.
+
+Reference pipeline per rotated canvas: raw TM_CCORR (cv::matchTemplate or
+the SIMD u8 dot path, MatchTool/MatchToolDlg.cpp:1275-1311) followed by
+CCOEFF_Denominator (integral-image window stats + numeric guards,
+MatchToolDlg.cpp:1329-1400).
+
+TPU formulation (one fused op, batched over canvases):
+  Let Sc = S - 128 and Tc = T - 128 (both in [-128, 127], exact in bf16 and
+  int8), T_bar = mean(T). With T' = T - T_bar (zero-mean template):
+
+      num   = sum_w S*T' = ccorr_c + (128 - T_bar) * s1c
+      where ccorr_c = conv(Sc, Tc)  <- the single MXU matmul that matters
+            s1c     = window sums of Sc (separable reduce_window, exact)
+            s2c     = window sums of Sc^2
+      diff2 = s2c - s1c^2/area      (= sum_w (S - S_bar)^2, shift-invariant)
+      t     = sqrt(diff2) * templNorm, with the reference's rounding-error
+              cutoff and the 1.125 clamp band (MatchToolDlg.cpp:1384-1395).
+
+This centering keeps every MXU input integer-valued (exact in bf16; int8
+eligible when area*128*128 < 2^31) and makes the numerator numerically
+benign — no large-magnitude cancellation like raw CCORR - mean*sum.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FLT_EPSILON = np.float32(1.1920929e-07)
+
+
+def window_sums(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """Valid-mode sliding-window sums over the last two dims via two
+    separable reduce_windows: [..., H, W] -> [..., H-h+1, W-w+1]."""
+    h, w = hw
+    nb = x.ndim - 2
+    dims_h = (1,) * nb + (h, 1)
+    dims_w = (1,) * nb + (1, w)
+    strides = (1,) * x.ndim
+    y = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims_h, strides, "VALID")
+    return jax.lax.reduce_window(y, 0.0, jax.lax.add, dims_w, strides, "VALID")
+
+
+def ccorr_conv(
+    canvases_c: jnp.ndarray,   # [B, H, W] f32, already centered (S - 128)
+    templ_c: jnp.ndarray,      # [h, w] f32, centered (T - 128)
+    compute_dtype: str = "bf16",
+) -> jnp.ndarray:
+    """Raw centered cross-correlation conv(Sc, Tc) -> [B, Ho, Wo] f32."""
+    h, w = templ_c.shape
+    if compute_dtype == "int8" and h * w * 128 * 128 < 2**31:
+        lhs = canvases_c.astype(jnp.int8)[:, None]
+        rhs = templ_c.astype(jnp.int8)[None, None]
+        acc = jnp.int32
+    elif compute_dtype == "bf16":
+        lhs = canvases_c.astype(jnp.bfloat16)[:, None]
+        rhs = templ_c.astype(jnp.bfloat16)[None, None]
+        acc = jnp.float32
+    else:
+        lhs = canvases_c[:, None]
+        rhs = templ_c[None, None]
+        acc = jnp.float32
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=acc,
+    )[:, 0]
+    return out.astype(jnp.float32)
+
+
+def ncc_score_map(
+    canvases: jnp.ndarray,      # [B, H, W] f32 (u8-valued)
+    templ: jnp.ndarray,         # [h, w] f32 (u8-valued)
+    templ_mean: float,          # host-precomputed f64 scalar (meanStdDev)
+    templ_norm: float,          # sigma * sqrt(area)
+    inv_area: float,
+    result_equal1: bool,
+    compute_dtype: str = "bf16",
+) -> jnp.ndarray:
+    """Fused TM_CCORR + CCOEFF_Denominator -> [B, Ho, Wo] f32 scores.
+
+    Matches cv::matchTemplate(TM_CCOEFF_NORMED) semantics including the
+    flat-template all-ones shortcut (MatchToolDlg.cpp:1331-1335) and the
+    epsilon/1.125 guards (:1384-1395).
+    """
+    h, w = templ.shape
+    B, H, W = canvases.shape
+    if result_equal1:
+        return jnp.ones((B, H - h + 1, W - w + 1), dtype=jnp.float32)
+
+    area = float(h * w)
+    sc = canvases - 128.0
+    tc = templ - 128.0
+
+    ccorr_c = ccorr_conv(sc, tc, compute_dtype)
+    s1c = window_sums(sc, (h, w))
+    s2c = window_sums(sc * sc, (h, w))
+
+    num = ccorr_c + jnp.float32(128.0 - templ_mean) * s1c
+    wnd_sum2 = s2c + 256.0 * s1c + 16384.0 * area
+    diff2 = jnp.maximum(s2c - s1c * s1c * jnp.float32(inv_area), 0.0)
+
+    cutoff = jnp.minimum(jnp.float32(0.5), 10.0 * FLT_EPSILON * wnd_sum2)
+    t = jnp.where(diff2 <= cutoff, 0.0, jnp.sqrt(diff2) * jnp.float32(templ_norm))
+
+    num_abs = jnp.abs(num)
+    safe_t = jnp.maximum(t, jnp.float32(1e-30))
+    score = jnp.where(
+        num_abs < t, num / safe_t,
+        jnp.where(num_abs < t * 1.125, jnp.sign(num), 0.0))
+    return score.astype(jnp.float32)

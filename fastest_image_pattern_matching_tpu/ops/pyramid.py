@@ -1,0 +1,58 @@
+"""Gaussian image pyramid with cv::pyrDown parity.
+
+The reference builds template and source pyramids with cv::buildPyramid
+(MatchTool/MatchToolDlg.cpp:459, :788-796), i.e. repeated pyrDown:
+5-tap [1,4,6,4,1]/16 separable blur, BORDER_REFLECT_101, stride-2
+subsample, output size ((n+1)/2), and for u8 inputs fixed-point rounding
+((sum + 128) >> 8 of the integer-weighted 2D sum).
+
+TPU mapping: one 5x5 stride-2 convolution per level. The integer 2D sum is
+at most 255*256 = 65280 < 2^24, so f32 convolution is exact and we can use
+the fast conv path and round at the end.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_KERNEL_1D = np.array([1.0, 4.0, 6.0, 4.0, 1.0], dtype=np.float32)
+_KERNEL_2D = np.outer(_KERNEL_1D, _KERNEL_1D)  # sums to 256
+
+
+def _reflect101_pad2(x: jnp.ndarray) -> jnp.ndarray:
+    """Pad 2 px on each side with BORDER_REFLECT_101 (gfedcb|abcdefgh|gfedcb)."""
+    return jnp.pad(x, ((2, 2), (2, 2)), mode="reflect")
+
+
+def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
+    """One cv::pyrDown step on a 2D u8/f32 image; returns u8-valued f32.
+
+    Output shape ((h+1)//2, (w+1)//2); values are exactly cv2.pyrDown's
+    u8 results (validated in tests/test_pyramid.py).
+    """
+    h, w = img.shape
+    x = _reflect101_pad2(img.astype(jnp.float32))
+    lhs = x[jnp.newaxis, jnp.newaxis]  # NCHW
+    rhs = jnp.asarray(_KERNEL_2D)[jnp.newaxis, jnp.newaxis]  # OIHW
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
+    )[0, 0]
+    # Fixed-point cast: (sum + 128) >> 8 on the integer sum.
+    out = jnp.floor((out + 128.0) / 256.0)
+    return out[: (h + 1) // 2, : (w + 1) // 2]
+
+
+def build_pyramid(img: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
+    """cv::buildPyramid: returns [level0, ..., level_levels] (levels+1 images),
+    all as u8-valued f32 arrays."""
+    out = [img.astype(jnp.float32)]
+    for _ in range(levels):
+        out.append(pyr_down(out[-1]))
+    return out

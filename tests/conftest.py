@@ -1,0 +1,26 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Tests must not require TPU hardware; sharding tests use the forced
+host-platform device count. bench.py (run separately) uses the real chip.
+
+Note: this environment pre-imports jax via sitecustomize with the TPU
+platform selected, so the platform must be overridden through jax.config
+(env vars are read before conftest runs).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,84 @@
+"""Fused NCC kernel parity vs cv::matchTemplate(TM_CCOEFF_NORMED)
+(the reference computes the same quantity as TM_CCORR + CCOEFF_Denominator,
+MatchToolDlg.cpp:1275-1400)."""
+
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fastest_image_pattern_matching_tpu.ops.ncc import ncc_score_map, window_sums
+
+
+def _stats(templ):
+    area = templ.size
+    mean = float(np.mean(templ, dtype=np.float64))
+    var = float(np.mean((templ.astype(np.float64) - mean) ** 2))
+    return mean, float(np.sqrt(var) * np.sqrt(area)), 1.0 / area
+
+
+@pytest.mark.parametrize("dtype", ["f32", "bf16"])
+@pytest.mark.parametrize("shape", [((64, 80), (16, 24)), ((120, 90), (33, 17)),
+                                   ((50, 50), (50, 50))])
+def test_ncc_matches_opencv(rng, dtype, shape):
+    (H, W), (h, w) = shape
+    src = rng.integers(0, 256, size=(H, W), dtype=np.uint8)
+    templ = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    ref = cv2.matchTemplate(src, templ, cv2.TM_CCOEFF_NORMED)
+    mean, norm, inv_area = _stats(templ)
+    got = np.asarray(ncc_score_map(
+        jnp.asarray(src, jnp.float32)[None], jnp.asarray(templ, jnp.float32),
+        mean, norm, inv_area, False, dtype))[0]
+    assert got.shape == ref.shape
+    atol = 2e-4 if dtype == "f32" else 2e-3
+    np.testing.assert_allclose(got, ref, atol=atol)
+
+
+def test_ncc_large_template_precision(rng):
+    """Layer-0-sized template: accumulation over ~400k pixels."""
+    H, W, h, w = 530, 770, 521, 762
+    src = rng.integers(0, 256, size=(H, W), dtype=np.uint8)
+    templ = src[4:4 + h, 3:3 + w].copy()
+    ref = cv2.matchTemplate(src, templ, cv2.TM_CCOEFF_NORMED)
+    mean, norm, inv_area = _stats(templ)
+    got = np.asarray(ncc_score_map(
+        jnp.asarray(src, jnp.float32)[None], jnp.asarray(templ, jnp.float32),
+        mean, norm, inv_area, False, "bf16"))[0]
+    # Peak must be exactly at the crop location with score ~1.
+    assert np.unravel_index(np.argmax(got), got.shape) == (4, 3)
+    assert got[4, 3] > 0.999
+    np.testing.assert_allclose(got, ref, atol=5e-3)
+
+
+def test_flat_template_all_ones(rng):
+    src = rng.integers(0, 256, size=(40, 40), dtype=np.uint8)
+    templ = np.full((8, 8), 77, np.uint8)
+    got = np.asarray(ncc_score_map(
+        jnp.asarray(src, jnp.float32)[None], jnp.asarray(templ, jnp.float32),
+        77.0, 0.0, 1 / 64.0, True, "f32"))[0]
+    np.testing.assert_array_equal(got, np.ones_like(got))
+
+
+def test_flat_window_guard(rng):
+    """Flat source windows must score 0 (the reference's epsilon guard,
+    MatchToolDlg.cpp:1384-1395), not NaN."""
+    src = np.full((40, 60), 13, np.uint8)
+    templ = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    mean, norm, inv_area = _stats(templ)
+    got = np.asarray(ncc_score_map(
+        jnp.asarray(src, jnp.float32)[None], jnp.asarray(templ, jnp.float32),
+        mean, norm, inv_area, False, "f32"))[0]
+    ref = cv2.matchTemplate(src, templ, cv2.TM_CCOEFF_NORMED)
+    assert np.all(np.isfinite(got))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_window_sums(rng):
+    x = rng.normal(size=(2, 20, 30)).astype(np.float32)
+    got = np.asarray(window_sums(jnp.asarray(x), (5, 7)))
+    want = np.zeros((2, 16, 24), np.float32)
+    for i in range(16):
+        for j in range(24):
+            want[:, i, j] = x[:, i:i + 5, j:j + 7].sum(axis=(1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -1,0 +1,70 @@
+"""Rotated-rect NMS parity vs OpenCV rotatedRectangleIntersection +
+contourArea (the reference's FilterWithRotatedRect, MatchToolDlg.cpp:1498-1557)."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+
+from fastest_image_pattern_matching_tpu.ops.nms import (
+    filter_overlaps, quad_intersection_area, rotated_rect_corners)
+
+
+def _cv_quad(pt_lt, angle_deg, w, h):
+    ra = -angle_deg * np.pi / 180.0
+    c, s = np.cos(ra), np.sin(ra)
+    lt = np.array(pt_lt)
+    rt = lt + [w * c, -w * s]
+    lb = lt + [h * s, h * c]
+    rb = rt + [h * s, h * c]
+    return np.array([lt, rt, rb, lb], np.float32)
+
+
+def test_quad_intersection_vs_opencv(rng):
+    for _ in range(50):
+        q1 = _cv_quad(rng.uniform(0, 50, 2), rng.uniform(-180, 180), 30, 20)
+        q2 = _cv_quad(rng.uniform(0, 50, 2), rng.uniform(-180, 180), 30, 20)
+        got = float(quad_intersection_area(jnp.asarray(q1), jnp.asarray(q2)))
+        r1 = cv2.minAreaRect(q1)
+        r2 = cv2.minAreaRect(q2)
+        kind, pts = cv2.rotatedRectangleIntersection(r1, r2)
+        if kind == cv2.INTERSECT_NONE or pts is None or len(pts) < 3:
+            want = 0.0
+        else:
+            hull = cv2.convexHull(pts.reshape(-1, 2))
+            want = cv2.contourArea(hull)
+        assert abs(got - want) < max(1.0, 0.02 * want), (got, want)
+
+
+def test_identical_quads_full_overlap():
+    q = _cv_quad((5, 5), 30.0, 20, 10)
+    a = float(quad_intersection_area(jnp.asarray(q), jnp.asarray(q)))
+    assert abs(a - 200.0) < 1e-2
+
+
+def test_disjoint_quads_zero():
+    q1 = _cv_quad((0, 0), 0.0, 10, 10)
+    q2 = _cv_quad((100, 100), 45.0, 10, 10)
+    assert float(quad_intersection_area(jnp.asarray(q1), jnp.asarray(q2))) == 0.0
+
+
+def test_filter_overlaps_greedy():
+    # Three candidates: #0 best, #1 overlaps #0 heavily, #2 far away.
+    pts = jnp.asarray(np.array([[0, 0], [3, 2], [100, 100]], np.float32))
+    angs = jnp.asarray(np.zeros(3, np.float32))
+    quads = rotated_rect_corners(pts, angs, 20.0, 10.0)
+    valid = jnp.asarray(np.array([True, True, True]))
+    keep = np.asarray(filter_overlaps(quads, valid, 200.0, 0.25))
+    assert keep.tolist() == [True, False, True]
+
+    # With a high overlap tolerance all three survive.
+    keep2 = np.asarray(filter_overlaps(quads, valid, 200.0, 0.8))
+    assert keep2.tolist() == [True, True, True]
+
+
+def test_filter_overlaps_respects_valid_mask():
+    pts = jnp.asarray(np.array([[0, 0], [3, 2]], np.float32))
+    quads = rotated_rect_corners(pts, jnp.zeros(2), 20.0, 10.0)
+    # #0 invalid: it must not suppress #1.
+    keep = np.asarray(filter_overlaps(
+        quads, jnp.asarray(np.array([False, True])), 200.0, 0.25))
+    assert keep.tolist() == [False, True]
