@@ -1,0 +1,90 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: end-to-end match latency on the README's flagship case
+(Src7/Dst7: 4024x3036 source, 762x521 template, 3 targets at 0/±120°,
+tolerance 180°, subpixel on — reference: 76 ms on i7-10700,
+README.md:45-55). Src7.bmp is a stripped blob, so the scene is
+reconstructed synthetically at the exact same shapes/parameters; the
+workload (angle count, pyramid depth, score-map sizes) is identical.
+
+vs_baseline = reference_ms / our_ms  (>1 means faster than reference).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_MS = 76.0  # README.md:45-55, i7-10700
+
+
+def _build_src7_like():
+    import cv2
+    rng = np.random.default_rng(42)
+    th, tw = 521, 762
+    t = np.full((th, tw), 50, np.uint8)
+    cv2.rectangle(t, (30, 30), (tw - 31, th - 31), 210, 12)
+    cv2.circle(t, (tw // 3, th // 2), 90, 160, -1)
+    cv2.line(t, (tw // 2, 40), (tw - 60, th - 60), 250, 16)
+    cv2.putText(t, "FIPM", (60, th - 80), cv2.FONT_HERSHEY_SIMPLEX, 5.0,
+                240, 20)
+    t = cv2.add(t, rng.integers(0, 20, t.shape, dtype=np.uint8))
+
+    H, W = 3036, 4024
+    scene = rng.integers(0, 40, size=(H, W), dtype=np.uint8)
+    diag = int(np.ceil(np.hypot(th, tw))) + 4
+    for (cx, cy, ang) in [(1725.9, 1045.4, 0.05), (2662.9, 1537.4, -119.98),
+                          (1768.9, 2098.5, 120.15)]:
+        canvas = np.zeros((diag, diag), np.uint8)
+        mask = np.zeros((diag, diag), np.uint8)
+        y0, x0 = (diag - th) // 2, (diag - tw) // 2
+        canvas[y0:y0 + th, x0:x0 + tw] = t
+        mask[y0:y0 + th, x0:x0 + tw] = 255
+        m = cv2.getRotationMatrix2D(((diag - 1) / 2, (diag - 1) / 2), ang, 1)
+        rc = cv2.warpAffine(canvas, m, (diag, diag))
+        rm = cv2.warpAffine(mask, m, (diag, diag), flags=cv2.INTER_NEAREST)
+        ys = int(round(cy - (diag - 1) / 2))
+        xs = int(round(cx - (diag - 1) / 2))
+        reg = scene[max(ys, 0):ys + diag, max(xs, 0):xs + diag]
+        rm2 = rm[:reg.shape[0], :reg.shape[1]]
+        rc2 = rc[:reg.shape[0], :reg.shape[1]]
+        reg[rm2 > 0] = rc2[rm2 > 0]
+    return scene, t
+
+
+def main():
+    import fastest_image_pattern_matching_tpu as fipm
+
+    scene, templ = _build_src7_like()
+    pattern = fipm.learn_pattern(templ, 256)
+    cfg = fipm.MatchConfig(max_pos=3, score=0.7, tolerance_angle=180.0,
+                           max_overlap=0.1, use_subpixel=True)
+
+    # Warmup / compile.
+    res = fipm.match(scene, pattern, cfg)
+    n_found = len(res)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        fipm.match(scene, pattern, cfg)
+    ms = (time.perf_counter() - t0) / iters * 1000.0
+
+    print(json.dumps({
+        "metric": "src7_flagship_e2e_ms",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": round(REFERENCE_MS / ms, 3),
+        "detail": {
+            "targets_found": n_found,
+            "scores": [round(r.score, 3) for r in res],
+            "angles": [round(r.angle, 2) for r in res],
+            "reference_ms": REFERENCE_MS,
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

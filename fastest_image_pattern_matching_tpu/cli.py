@@ -1,0 +1,174 @@
+"""Headless CLI — the TPU build's replacement for the reference GUI apps.
+
+Mirrors the Qt entry's flags (-s/--source, -t/--template, src/main.cpp:29-63)
+and exposes every matching parameter of the dialogs (MatchToolDlg.cpp:108-117
+validation ranges; ui/MatchToolDialog.ui defaults). Outputs the results table
+the dialogs show (index/score/angle/posX/posY, MatchToolDlg.cpp:1119-1139)
+as text or JSON, plus optional annotated overlay and matched-ROI dumps
+(OutputRoi, MatchToolDlg.cpp:1223-1236).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fipm-tpu",
+        description="TPU-native rotation-invariant template matching")
+    p.add_argument("--platform", default=None,
+                   help="override jax platform (e.g. cpu, tpu)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    m = sub.add_parser("match", help="find template instances in a source image")
+    m.add_argument("-s", "--source", required=True, help="source image path")
+    m.add_argument("-t", "--template", required=True, help="template image path")
+    m.add_argument("--max-pos", type=int, default=70,
+                   help="max targets (1-200)")
+    m.add_argument("--max-overlap", type=float, default=0.1)
+    m.add_argument("--score", type=float, default=0.7)
+    m.add_argument("--tolerance-angle", type=float, default=180.0)
+    m.add_argument("--min-reduce-area", type=int, default=256)
+    m.add_argument("--tolerance-ranges", type=float, nargs=4,
+                   metavar=("T1", "T2", "T3", "T4"), default=None,
+                   help="dual angle ranges [T1,T2] and [T3,T4]")
+    m.add_argument("--no-subpixel", action="store_true")
+    m.add_argument("--bitwise-not", action="store_true")
+    m.add_argument("--fast-mode", action="store_true",
+                   help="stop pyramid descent at layer 1")
+    m.add_argument("--compute-dtype", choices=["bf16", "f32", "int8"],
+                   default="bf16")
+    m.add_argument("--json", action="store_true", help="JSON output")
+    m.add_argument("--output-image", help="write annotated overlay image")
+    m.add_argument("--output-roi", help="directory to dump matched ROIs")
+    m.add_argument("--pattern-out", help="save learned pattern (.npz)")
+
+    o = sub.add_parser("orb", help="ORB feature matching (secondary path)")
+    o.add_argument("-s", "--source", required=True)
+    o.add_argument("-t", "--template", required=True)
+    o.add_argument("--max-features", type=int, default=500)
+    o.add_argument("--max-good-matches", type=int, default=150)
+    o.add_argument("--ransac-threshold", type=float, default=2.0)
+    o.add_argument("--json", action="store_true")
+
+    b = sub.add_parser("bench", help="run the benchmark harness")
+    return p
+
+
+def _cmd_match(args) -> int:
+    import numpy as np
+    from . import MatchConfig, learn_pattern, match
+    from .utils.imageio import load_gray, save_gray
+
+    src = load_gray(args.source)
+    tpl = load_gray(args.template)
+    cfg = MatchConfig(
+        max_pos=args.max_pos, max_overlap=args.max_overlap, score=args.score,
+        tolerance_angle=args.tolerance_angle,
+        min_reduce_area=args.min_reduce_area,
+        tolerance_ranges=(tuple(args.tolerance_ranges)
+                          if args.tolerance_ranges else None),
+        use_subpixel=not args.no_subpixel, bitwise_not=args.bitwise_not,
+        fast_mode=args.fast_mode, compute_dtype=args.compute_dtype)
+
+    pattern = learn_pattern(tpl, cfg.min_reduce_area)
+    if args.pattern_out:
+        pattern.save(args.pattern_out)
+    t0 = time.perf_counter()
+    results = match(src, pattern, cfg)
+    dt = (time.perf_counter() - t0) * 1000
+
+    if args.json:
+        print(json.dumps({
+            "execution_ms": round(dt, 2),
+            "count": len(results),
+            "matches": [{
+                "index": i, "score": r.score, "angle": r.angle,
+                "pos_x": r.pos_x, "pos_y": r.pos_y,
+                "corners": [list(r.lt), list(r.rt), list(r.rb), list(r.lb)],
+            } for i, r in enumerate(results)],
+        }))
+    else:
+        print(f"Execution time: {dt:.1f} ms (includes compile on first run)")
+        print(f"Total number: {len(results)}")
+        print(f"{'Index':>5} {'Score':>8} {'Angle':>10} {'PosX':>10} {'PosY':>10}")
+        for i, r in enumerate(results):
+            print(f"{i:>5} {r.score:>8.3f} {r.angle:>10.3f} "
+                  f"{r.pos_x:>10.3f} {r.pos_y:>10.3f}")
+
+    if args.output_image:
+        import cv2
+        vis = cv2.cvtColor(src, cv2.COLOR_GRAY2BGR)
+        for i, r in enumerate(results):
+            pts = np.array([r.lt, r.rt, r.rb, r.lb], np.int32)
+            cv2.polylines(vis, [pts], True, (0, 255, 0), 2)
+            cv2.circle(vis, (int(r.pos_x), int(r.pos_y)), 3, (0, 0, 255), -1)
+            cv2.putText(vis, str(i), (int(r.lt[0]), int(r.lt[1]) - 4),
+                        cv2.FONT_HERSHEY_PLAIN, 1.2, (0, 255, 0), 1)
+        cv2.imwrite(args.output_image, vis)
+
+    if args.output_roi:
+        import os
+        os.makedirs(args.output_roi, exist_ok=True)
+        for i, r in enumerate(results):
+            xs = [r.lt[0], r.rt[0], r.rb[0], r.lb[0]]
+            ys = [r.lt[1], r.rt[1], r.rb[1], r.lb[1]]
+            x0, x1 = max(0, int(min(xs))), min(src.shape[1], int(max(xs)) + 1)
+            y0, y1 = max(0, int(min(ys))), min(src.shape[0], int(max(ys)) + 1)
+            if x1 > x0 and y1 > y0:
+                save_gray(f"{args.output_roi}/roi{i}.bmp", src[y0:y1, x0:x1])
+    return 0
+
+
+def _cmd_orb(args) -> int:
+    from .models.orb import ORBConfig, orb_match
+    from .utils.imageio import load_gray
+
+    src = load_gray(args.source)
+    tpl = load_gray(args.template)
+    cfg = ORBConfig(max_features=args.max_features,
+                    max_good_matches=args.max_good_matches,
+                    ransac_threshold=args.ransac_threshold)
+    t0 = time.perf_counter()
+    res = orb_match(src, tpl, cfg)
+    dt = (time.perf_counter() - t0) * 1000
+    out = {
+        "execution_ms": round(dt, 2),
+        "is_matched": res.is_matched,
+        "num_inliers": res.num_inliers,
+        "num_good_matches": res.num_good_matches,
+        "avg_pixel_shift": res.avg_pixel_shift,
+        "homography": (res.homography.tolist()
+                       if res.homography is not None else None),
+        "corners": (res.corners.tolist() if res.corners is not None else None),
+    }
+    if args.json:
+        print(json.dumps(out))
+    else:
+        for k, v in out.items():
+            print(f"{k}: {v}")
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    if args.command == "match":
+        return _cmd_match(args)
+    if args.command == "orb":
+        return _cmd_orb(args)
+    if args.command == "bench":
+        import runpy
+        runpy.run_path("bench.py", run_name="__main__")
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

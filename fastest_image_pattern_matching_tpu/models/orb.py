@@ -1,0 +1,401 @@
+"""ORB feature matching — the reference's secondary path
+(ORBMatch/ORBFeatureMatcher.{h,cpp}), redesigned TPU-native.
+
+Reference pipeline (ORBFeatureMatcher.cpp:21-201): ORB detect+describe on
+both images (500 features, 1.2 scale, 8 levels, Harris score, :14) ->
+BFMatcher Hamming (:58-60) -> top-150 by distance (:76-82) -> RANSAC
+homography (thresh 2.0, 2000 iters, conf 0.99, :104-109) -> inlier
+extraction + average pixel shift (:141-185) -> corners via
+perspectiveTransform(H^-1) (:329-371).
+
+TPU formulation — every data-dependent loop becomes a fixed-size batch:
+  * FAST-9 corners: 16 static shifted views + circular-run reduction (VPU).
+  * Harris response ranking: Sobel + box sums + det-k*tr^2, top-K per level.
+  * Orientation: intensity-centroid moments as masked patch sums.
+  * rBRIEF: 256 deterministic pairs, steered by orientation, gathered in
+    one batched lookup.
+  * Hamming matching: descriptors as ±1 bf16 vectors; distance
+    D = (256 - B_s @ B_t^T)/2 — one MXU matmul instead of O(Ns*Nt*256)
+    scalar popcounts.
+  * RANSAC: 2000 pre-sampled 4-point hypotheses solved and scored in one
+    batch (vmapped 8x8 solve + one matmul-like reprojection pass), then a
+    DLT refit on the winner's inliers. No data-dependent iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ORBConfig:
+    max_features: int = 500        # cv::ORB::create nfeatures (:14)
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    fast_threshold: int = 20
+    max_good_matches: int = 150    # top-N matches kept (:80)
+    ransac_threshold: float = 2.0  # (:105)
+    ransac_iters: int = 2000       # (:106)
+    harris_k: float = 0.04
+    patch_size: int = 31
+
+
+@dataclasses.dataclass
+class ORBResult:
+    is_matched: bool
+    homography: Optional[np.ndarray]      # maps source pts -> template pts
+    num_inliers: int
+    num_good_matches: int
+    avg_pixel_shift: float
+    corners: Optional[np.ndarray]         # template corners in source frame
+    src_pts: Optional[np.ndarray] = None  # matched source points [M, 2]
+    dst_pts: Optional[np.ndarray] = None  # matched template points [M, 2]
+    inlier_mask: Optional[np.ndarray] = None
+
+
+# FAST-9/16 Bresenham circle offsets (x, y), standard ordering.
+_FAST_OFFSETS = np.array([
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+], dtype=np.int32)
+
+
+def _fast_corners(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """FAST-9 corner mask [H, W] (True where >=9 contiguous circle pixels
+    are all brighter than p+t or all darker than p-t)."""
+    H, W = img.shape
+    pad = jnp.pad(img, 3, mode="edge")
+    views = jnp.stack([pad[3 + dy:3 + dy + H, 3 + dx:3 + dx + W]
+                       for (dx, dy) in _FAST_OFFSETS])  # [16, H, W]
+    bright = views > img[None] + threshold
+    dark = views < img[None] - threshold
+
+    def runs(mask):
+        m2 = jnp.concatenate([mask, mask[:8]], axis=0)  # wraparound
+        acc = jnp.ones_like(img, dtype=bool)
+        hit = jnp.zeros_like(img, dtype=bool)
+        for k in range(16):
+            window = m2[k:k + 9]
+            hit = hit | jnp.all(window, axis=0)
+        return hit
+
+    out = runs(bright) | runs(dark)
+    # Exclude the border band where the circle leaves the image.
+    out = out.at[:3].set(False).at[-3:].set(False)
+    out = out.at[:, :3].set(False).at[:, -3:].set(False)
+    return out
+
+
+def _harris_response(img: jnp.ndarray, k: float) -> jnp.ndarray:
+    """Harris corner response via Sobel gradients + 7x7 box window."""
+    sob_x = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
+    sob_y = sob_x.T
+
+    def conv2(x, kern):
+        return jax.lax.conv_general_dilated(
+            x[None, None], kern[None, None], (1, 1), "SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+
+    ix = conv2(img, sob_x)
+    iy = conv2(img, sob_y)
+    box = jnp.ones((7, 7), jnp.float32)
+    sxx = conv2(ix * ix, box)
+    syy = conv2(iy * iy, box)
+    sxy = conv2(ix * iy, box)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    return det - k * tr * tr
+
+
+def _local_max_3x3(r: jnp.ndarray) -> jnp.ndarray:
+    mx = jax.lax.reduce_window(r, -jnp.inf, jax.lax.max, (3, 3), (1, 1),
+                               "SAME")
+    return r >= mx
+
+
+def _orientation(img: jnp.ndarray, pts: jnp.ndarray, radius: int = 15
+                 ) -> jnp.ndarray:
+    """Intensity-centroid orientation (rad) for keypoints [N, 2] (x, y)."""
+    d = 2 * radius + 1
+    oy, ox = np.mgrid[-radius:radius + 1, -radius:radius + 1]
+    circ = (ox * ox + oy * oy) <= radius * radius
+    ox_j = jnp.asarray(ox * circ, jnp.float32)
+    oy_j = jnp.asarray(oy * circ, jnp.float32)
+    circ_j = jnp.asarray(circ, jnp.float32)
+    padded = jnp.pad(img, radius, mode="edge")
+
+    def one(pt):
+        x0 = pt[0].astype(jnp.int32)
+        y0 = pt[1].astype(jnp.int32)
+        patch = jax.lax.dynamic_slice(padded, (y0, x0), (d, d)) * circ_j
+        m10 = jnp.sum(patch * ox_j)
+        m01 = jnp.sum(patch * oy_j)
+        return jnp.arctan2(m01, m10)
+
+    return jax.vmap(one)(pts)
+
+
+@functools.lru_cache(maxsize=1)
+def _brief_pattern() -> np.ndarray:
+    """Deterministic 256-pair BRIEF sampling pattern [256, 4] as
+    (x1, y1, x2, y2), Gaussian-distributed like BRIEF (sigma = patch/5),
+    fixed seed. (The exact OpenCV learned pattern is not required for
+    homography-level parity; the contract is descriptor distinctiveness.)"""
+    rng = np.random.default_rng(0x5EED)
+    sigma = 31 / 5.0
+    pts = np.clip(np.round(rng.normal(0, sigma, size=(256, 4))), -13, 13)
+    return pts.astype(np.int32)
+
+
+def _descriptors(img: jnp.ndarray, pts: jnp.ndarray, angles: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """Steered-BRIEF descriptors as ±1 float [N, 256]. Pixels are compared
+    on a 5x5-box-smoothed image (like ORB's integral-image smoothing)."""
+    box = jnp.ones((5, 5), jnp.float32) / 25.0
+    sm = jax.lax.conv_general_dilated(
+        img[None, None], box[None, None], (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    H, W = img.shape
+    pat = jnp.asarray(_brief_pattern(), jnp.float32)  # [256, 4]
+
+    ca = jnp.cos(angles)[:, None]
+    sa = jnp.sin(angles)[:, None]
+
+    def rot(xs, ys):
+        # Rotate pattern offsets by keypoint orientation (steered BRIEF).
+        rx = ca * xs[None] - sa * ys[None]
+        ry = sa * xs[None] + ca * ys[None]
+        return rx, ry
+
+    x1, y1 = rot(pat[:, 0], pat[:, 1])
+    x2, y2 = rot(pat[:, 2], pat[:, 3])
+
+    def sample(xo, yo):
+        xi = jnp.clip(jnp.round(pts[:, 0:1] + xo), 0, W - 1).astype(jnp.int32)
+        yi = jnp.clip(jnp.round(pts[:, 1:2] + yo), 0, H - 1).astype(jnp.int32)
+        return sm[yi, xi]
+
+    bits = sample(x1, y1) < sample(x2, y2)
+    return jnp.where(bits, 1.0, -1.0).astype(jnp.float32)
+
+
+def _detect_level(img: jnp.ndarray, cfg: ORBConfig, k_feat: int):
+    """Top-k_feat keypoints on one pyramid level.
+    Returns (pts [k, 2] f32, resp [k], valid [k])."""
+    fast = _fast_corners(img, float(cfg.fast_threshold))
+    harris = _harris_response(img, cfg.harris_k)
+    # Rank FAST pixels by Harris (like ORB's HARRIS_SCORE) and 3x3-NMS the
+    # *masked* response — the raw Harris peak usually sits a pixel inside
+    # the shape, off the FAST ring.
+    masked = jnp.where(fast, harris, -jnp.inf)
+    cand = fast & _local_max_3x3(masked)
+    score = jnp.where(cand, harris, -jnp.inf)
+    H, W = img.shape
+    flat = score.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, min(k_feat, flat.shape[0]))
+    ys = (idx // W).astype(jnp.float32)
+    xs = (idx % W).astype(jnp.float32)
+    valid = jnp.isfinite(vals)
+    return jnp.stack([xs, ys], -1), vals, valid
+
+
+def detect_and_describe(img: np.ndarray, cfg: ORBConfig):
+    """Multi-scale ORB features.
+
+    Returns (pts [N,2] in level-0 coords, desc ±1 [N,256], valid [N]).
+    Fixed N = cfg.max_features; invalid slots are masked.
+    """
+    img_j = jnp.asarray(np.asarray(img), jnp.float32)
+    n = cfg.n_levels
+    # Geometric per-level feature budget like OpenCV ORB.
+    factor = 1.0 / cfg.scale_factor
+    ndesired = cfg.max_features * (1 - factor) / (1 - factor ** n)
+    budgets = []
+    remaining = cfg.max_features
+    for i in range(n):
+        b = min(int(round(ndesired * factor ** i)), remaining)
+        if i == n - 1:
+            b = remaining
+        budgets.append(max(b, 0))
+        remaining -= b
+
+    all_pts, all_desc, all_valid = [], [], []
+    cur = img_j
+    for lvl in range(n):
+        scale = cfg.scale_factor ** lvl
+        if lvl > 0:
+            h = max(8, int(round(img_j.shape[0] / scale)))
+            w = max(8, int(round(img_j.shape[1] / scale)))
+            cur = jax.image.resize(img_j, (h, w), "linear")
+        if budgets[lvl] == 0:
+            continue
+        pts, resp, valid = _detect_level(cur, cfg, budgets[lvl])
+        ang = _orientation(cur, pts)
+        desc = _descriptors(cur, pts, ang)
+        all_pts.append(pts * scale)
+        all_desc.append(desc)
+        all_valid.append(valid)
+
+    pts = jnp.concatenate(all_pts)[: cfg.max_features]
+    desc = jnp.concatenate(all_desc)[: cfg.max_features]
+    valid = jnp.concatenate(all_valid)[: cfg.max_features]
+    return pts, desc, valid
+
+
+def hamming_match(desc_s: jnp.ndarray, valid_s, desc_t: jnp.ndarray, valid_t):
+    """Brute-force Hamming via one MXU matmul on ±1 bf16 descriptors:
+    dist = (256 - <s, t>) / 2  (exact: entries are small integers).
+    Returns (train_idx [Ns], dist [Ns]) — best template match per source
+    feature, like BFMatcher::match (ORBFeatureMatcher.cpp:58-60)."""
+    dot = jnp.dot(desc_s.astype(jnp.bfloat16), desc_t.astype(jnp.bfloat16).T,
+                  preferred_element_type=jnp.float32)
+    dist = (256.0 - dot) / 2.0
+    dist = jnp.where(valid_t[None, :], dist, jnp.inf)
+    dist = jnp.where(valid_s[:, None], dist, jnp.inf)
+    ti = jnp.argmin(dist, axis=1)
+    return ti, dist[jnp.arange(dist.shape[0]), ti]
+
+
+def _solve_h_4pt(src4: jnp.ndarray, dst4: jnp.ndarray) -> jnp.ndarray:
+    """Exact homography from 4 correspondences: 8x8 linear solve with
+    h33 = 1. Returns [3, 3] (may be garbage for degenerate quads — those
+    hypotheses simply score few inliers)."""
+    x, y = src4[:, 0], src4[:, 1]
+    u, v = dst4[:, 0], dst4[:, 1]
+    z = jnp.zeros_like(x)
+    o = jnp.ones_like(x)
+    rows_u = jnp.stack([x, y, o, z, z, z, -u * x, -u * y], axis=1)
+    rows_v = jnp.stack([z, z, z, x, y, o, -v * x, -v * y], axis=1)
+    A = jnp.concatenate([rows_u, rows_v], axis=0)          # [8, 8]
+    b = jnp.concatenate([u, v], axis=0)                    # [8]
+    h = jnp.linalg.solve(A + 1e-8 * jnp.eye(8), b)
+    return jnp.concatenate([h, jnp.ones(1)]).reshape(3, 3)
+
+
+def _project(H: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    ph = pts @ H[:, :2].T + H[:, 2][None]
+    w = jnp.where(jnp.abs(ph[:, 2]) > 1e-12, ph[:, 2], 1e-12)
+    return ph[:, :2] / w[:, None]
+
+
+def ransac_homography(src: jnp.ndarray, dst: jnp.ndarray, valid: jnp.ndarray,
+                      thresh: float, iters: int, seed: int = 0):
+    """Batched-hypothesis RANSAC: sample all 4-point subsets up front,
+    solve all homographies with one vmap, score all with one pass, argmax
+    inliers, then DLT-refit on the winner's inliers (normalized, via eigh).
+    Returns (H [3,3], inlier_mask [M])."""
+    M = src.shape[0]
+    key = jax.random.PRNGKey(seed)
+    # Sample only among valid correspondences: bias sampling by masking —
+    # draw from the valid prefix using random uniforms scaled by count.
+    nvalid = jnp.maximum(jnp.sum(valid), 4)
+    ranks = jnp.cumsum(valid) - 1                     # index among valid
+    # Map "valid rank r" -> original index via scatter.
+    pos = jnp.nonzero(valid, size=M, fill_value=0)[0]  # [M]
+    r = jax.random.randint(key, (iters, 4), 0, 2**30) % nvalid
+    samples = pos[r]                                   # [iters, 4]
+
+    Hs = jax.vmap(lambda i: _solve_h_4pt(src[i], dst[i]))(samples)
+
+    def score(Hm):
+        proj = _project(Hm, src)
+        err = jnp.sum((proj - dst) ** 2, axis=1)
+        inl = (err < thresh * thresh) & valid
+        return jnp.sum(inl), inl
+
+    counts, inls = jax.vmap(score)(Hs)
+    best = jnp.argmax(counts)
+    mask = inls[best]
+
+    # Normalized DLT refit on inliers (all M rows, zero-weighted outliers).
+    w = mask.astype(jnp.float32)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+
+    def norm_pts(p):
+        c = jnp.sum(p * w[:, None], axis=0) / wsum
+        d = jnp.sqrt(jnp.sum((p - c) ** 2, axis=1)) * w
+        s = jnp.sqrt(2.0) / jnp.maximum(jnp.sum(d) / wsum, 1e-9)
+        T = jnp.array([[s, 0, -s * c[0]], [0, s, -s * c[1]], [0, 0, 1.0]])
+        return (p - c) * s, T
+
+    sn, Ts = norm_pts(src)
+    dn, Td = norm_pts(dst)
+    x, y = sn[:, 0], sn[:, 1]
+    u, v = dn[:, 0], dn[:, 1]
+    z = jnp.zeros_like(x)
+    o = jnp.ones_like(x)
+    r1 = jnp.stack([x, y, o, z, z, z, -u * x, -u * y, -u], 1) * w[:, None]
+    r2 = jnp.stack([z, z, z, x, y, o, -v * x, -v * y, -v], 1) * w[:, None]
+    A = jnp.concatenate([r1, r2], axis=0)
+    _, vecs = jnp.linalg.eigh(A.T @ A)
+    h = vecs[:, 0]
+    Hn = h.reshape(3, 3)
+    Hf = jnp.linalg.solve(Td, Hn @ Ts)
+    Hf = Hf / jnp.where(jnp.abs(Hf[2, 2]) > 1e-12, Hf[2, 2], 1e-12)
+
+    # Final inlier mask under the refit H.
+    _, mask_f = score(Hf)
+    better = jnp.sum(mask_f) >= jnp.sum(mask)
+    Hout = jnp.where(better, Hf, Hs[best])
+    mask_out = jnp.where(better, mask_f, mask)
+    return Hout, mask_out
+
+
+def orb_match(source: np.ndarray, template: np.ndarray,
+              cfg: Optional[ORBConfig] = None, seed: int = 0) -> ORBResult:
+    """Full ORB matching pipeline (performORBMatching parity,
+    ORBFeatureMatcher.cpp:21-201)."""
+    cfg = cfg or ORBConfig()
+    source = np.asarray(source)
+    template = np.asarray(template)
+    if source.ndim == 3:
+        source = source[..., 0]
+    if template.ndim == 3:
+        template = template[..., 0]
+
+    ps, ds, vs = detect_and_describe(source, cfg)
+    pt, dt, vt = detect_and_describe(template, cfg)
+
+    ti, dist = hamming_match(ds, vs, dt, vt)
+    if int(np.sum(np.isfinite(np.asarray(dist)))) < 10:  # :66
+        return ORBResult(False, None, 0, 0, 0.0, None)
+
+    # Top max_good_matches by distance (:76-82).
+    N = min(cfg.max_good_matches, dist.shape[0])
+    neg = jnp.where(jnp.isfinite(dist), -dist, -jnp.inf)
+    _, order = jax.lax.top_k(neg, N)
+    s_pts = ps[order]
+    t_pts = pt[ti[order]]
+    good_valid = jnp.isfinite(dist[order])
+
+    H, mask = ransac_homography(s_pts, t_pts, good_valid,
+                                cfg.ransac_threshold, cfg.ransac_iters, seed)
+    mask_np = np.asarray(mask)
+    n_inl = int(mask_np.sum())
+    if n_inl < 2:  # :156
+        return ORBResult(False, None, n_inl, N, 0.0, None)
+
+    s_np = np.asarray(s_pts)
+    t_np = np.asarray(t_pts)
+    shifts = np.linalg.norm(t_np[mask_np] - s_np[mask_np], axis=1)
+    avg_shift = float(shifts.mean())
+
+    # Template corners in the source frame: perspectiveTransform with
+    # H^-1 (:340-353).
+    h, w = template.shape
+    tc = np.array([[0, 0], [w, 0], [w, h], [0, h]], np.float64)
+    Hinv = np.linalg.inv(np.asarray(H, np.float64))
+    ph = np.concatenate([tc, np.ones((4, 1))], axis=1) @ Hinv.T
+    corners = ph[:, :2] / ph[:, 2:3]
+
+    return ORBResult(
+        is_matched=True, homography=np.asarray(H, np.float64),
+        num_inliers=n_inl, num_good_matches=int(np.asarray(good_valid).sum()),
+        avg_pixel_shift=avg_shift, corners=corners,
+        src_pts=s_np, dst_pts=t_np, inlier_mask=mask_np)

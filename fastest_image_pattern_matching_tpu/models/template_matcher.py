@@ -137,8 +137,13 @@ def _top_sweep_arrays(plan: _Plan):
             np.array(valid_wh, np.int32), np.array(plan.angles, np.float32))
 
 
-def _build_match_fn(plan: _Plan, stats):
-    """Build the jitted end-to-end match program for a static plan."""
+def build_stages(plan: _Plan, stats):
+    """Build the pipeline stage functions for a static plan.
+
+    Returns a namespace of pure, trace-compatible functions; the single-chip
+    match program composes them, and parallel.matcher re-composes the same
+    stages inside a shard_map with collectives between them.
+    """
     cfg = plan.cfg
     top, stop = plan.top, plan.stop
     th_t, tw_t = plan.templ_shapes[top]
@@ -150,9 +155,12 @@ def _build_match_fn(plan: _Plan, stats):
 
     src_sizes = geometry.pyramid_sizes(plan.src_hw, top)
 
-    def top_sweep(src_top, templ_top, inv_mats, trans, valid_wh,
-                  angles_arr):
+    def sweep_maps(src_top, templ_top, inv_mats, valid_wh):
+        """Per-angle score-map peaks for an arbitrary angle subset:
+        [a, 2, 3], [a, 2] -> vals [a, K], locs [a, K, 2]. This is the
+        shardable unit — each device sweeps its own angle shard."""
         stats_top = stats[top]
+        n_ang = inv_mats.shape[0]
         xs = jax.lax.broadcasted_iota(jnp.int32, (Hc - th_t + 1, Wc - tw_t + 1), 1)
         ys = jax.lax.broadcasted_iota(jnp.int32, (Hc - th_t + 1, Wc - tw_t + 1), 0)
 
@@ -171,15 +179,22 @@ def _build_match_fn(plan: _Plan, stats):
             return vals, locs
 
         chunk = max(1, _CHUNK_BUDGET_ELEMS // (Hc * Wc * 4))
-        vals, locs = chunked_map(sweep_chunk, (inv_mats, valid_wh), A, chunk)
+        return chunked_map(sweep_chunk, (inv_mats, valid_wh), n_ang, chunk)
 
-        # Candidate selection: flatten, threshold, global top-C (the
-        # reference sorts all candidates by score, MatchToolDlg.cpp:890).
-        vals_f = vals.reshape(A * K)
-        locs_f = locs.reshape(A * K, 2)
+    def select_candidates(vals, locs, trans, angles_arr):
+        """Flatten per-angle peaks, threshold, global top-C (the reference
+        sorts all candidates by score, MatchToolDlg.cpp:890). Operates on
+        the full (gathered) angle axis."""
+        n_ang = vals.shape[0]
+        vals_f = vals.reshape(n_ang * K)
+        locs_f = locs.reshape(n_ang * K, 2)
         ok = vals_f >= jnp.float32(plan.layer_scores[top])
         masked = jnp.where(ok, vals_f, jnp.float32(-1.0))
-        top_vals, top_idx = jax.lax.top_k(masked, C)
+        top_vals, top_idx = jax.lax.top_k(masked, min(C, masked.shape[0]))
+        if top_vals.shape[0] < C:  # pad up to the static candidate count
+            pad = C - top_vals.shape[0]
+            top_vals = jnp.pad(top_vals, (0, pad), constant_values=-1.0)
+            top_idx = jnp.pad(top_idx, (0, pad))
         aidx = top_idx // K
         pt = locs_f[top_idx].astype(jnp.float32) - trans[aidx]
         ang = angles_arr[aidx]
@@ -256,15 +271,8 @@ def _build_match_fn(plan: _Plan, stats):
         pt = rotate_pt_jnp(pt, jnp.stack(center), -best_ang * D2R)
         return pt, best_ang, score, alive
 
-    def match_fn(src, templs, inv_mats, trans, valid_wh, angles_arr):
-        if cfg.bitwise_not:
-            src = 255.0 - src
-        pyr = build_pyramid(src, top)
-
-        pt, ang, score, alive = top_sweep(
-            pyr[top], templs[top], inv_mats, trans, valid_wh,
-            angles_arr)
-
+    def descend(pyr, templs, pt, ang, score, alive):
+        """Initial un-rotation + full pyramid descent to the stop layer."""
         sh_t, sw_t = src_sizes[top]
         center_top = jnp.array([(sw_t - 1) / 2.0, (sh_t - 1) / 2.0],
                                jnp.float32)
@@ -272,16 +280,15 @@ def _build_match_fn(plan: _Plan, stats):
 
         if top <= stop:
             scale = 1.0 if top == 0 else 2.0
-            final_pt = ptLT * scale
-            final_ang = ang
-        else:
-            for l in range(top - 1, stop - 1, -1):
-                ptLT, ang, score, alive = descend_layer(
-                    l, pyr[l], templs[l], ptLT, ang, score, alive)
-            scale = 1.0 if stop == 0 else 2.0
-            final_pt = ptLT * scale
-            final_ang = ang
+            return ptLT * scale, ang, score, alive
+        for l in range(top - 1, stop - 1, -1):
+            ptLT, ang, score, alive = descend_layer(
+                l, pyr[l], templs[l], ptLT, ang, score, alive)
+        scale = 1.0 if stop == 0 else 2.0
+        return ptLT * scale, ang, score, alive
 
+    def finalize(final_pt, final_ang, score, alive):
+        ang = final_ang
         # FilterWithScore (MatchToolDlg.cpp:1481-1497): sort desc + cut.
         ok = alive & (score >= jnp.float32(cfg.score))
         svals = jnp.where(ok, score, jnp.float32(-1.0))
@@ -316,7 +323,33 @@ def _build_match_fn(plan: _Plan, stats):
         return dict(score=r_score, angle=out_ang, corners=corners,
                     center=center, valid=r_ok)
 
-    return jax.jit(match_fn)
+    def match_fn(src, templs, inv_mats, trans, valid_wh, angles_arr):
+        if cfg.bitwise_not:
+            src = 255.0 - src
+        pyr = build_pyramid(src, top)
+        vals, locs = sweep_maps(pyr[top], templs[top], inv_mats, valid_wh)
+        pt, ang, score, alive = select_candidates(vals, locs, trans,
+                                                  angles_arr)
+        final_pt, final_ang, score, alive = descend(pyr, templs, pt, ang,
+                                                    score, alive)
+        return finalize(final_pt, final_ang, score, alive)
+
+    class _Stages:
+        pass
+
+    st = _Stages()
+    st.plan = plan
+    st.sweep_maps = sweep_maps
+    st.select_candidates = select_candidates
+    st.descend = descend
+    st.finalize = finalize
+    st.match_fn = match_fn
+    return st
+
+
+def _build_match_fn(plan: _Plan, stats):
+    """Build the jitted end-to-end match program for a static plan."""
+    return jax.jit(build_stages(plan, stats).match_fn)
 
 
 @functools.lru_cache(maxsize=32)
