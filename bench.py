@@ -59,7 +59,8 @@ def main():
     scene, templ = _build_src7_like()
     pattern = fipm.learn_pattern(templ, 256)
     cfg = fipm.MatchConfig(max_pos=3, score=0.7, tolerance_angle=180.0,
-                           max_overlap=0.1, use_subpixel=True)
+                           max_overlap=0.1, use_subpixel=True,
+                           narrow_candidates=True)
 
     # Warmup / compile.
     res = fipm.match(scene, pattern, cfg)

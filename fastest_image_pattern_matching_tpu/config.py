@@ -57,6 +57,13 @@ class MatchConfig:
     # Round warped canvases to integers, emulating the reference's u8
     # rotated images (warpAffine writes u8, MatchToolDlg.cpp:856).
     quantize_warp: bool = True
+    # Narrow the candidate set to the top scorers before the expensive
+    # low-pyramid layers (bound: max(2*max_pos+4, 16)). OFF by default:
+    # the reference refines every candidate, and weak matches (low score
+    # threshold) can rank deep at the top layer (e.g. Src8's 0.53-score
+    # target ranks >16th). Enable for strong-target production workloads
+    # where it halves refinement cost.
+    narrow_candidates: bool = False
 
     def __post_init__(self):
         if not (1 <= self.max_pos <= 200):

@@ -33,7 +33,7 @@ from ..ops.peaks import extract_peaks
 from ..ops.nms import filter_overlaps, rotated_rect_corners
 from ..ops.subpixel import subpixel_refine
 from ..ops.warp import (make_rotation_invmaps, rotate_pt_jnp,
-                        warp_affine_batch)
+                        warp_affine_batch, warp_affine_dispatch)
 
 DBL_EPSILON = 2.220446049250313e-16
 
@@ -154,6 +154,13 @@ def build_stages(plan: _Plan, stats):
     k_ang = plan.k_ang
 
     src_sizes = geometry.pyramid_sizes(plan.src_hw, top)
+    # Pallas matmul-warp on TPU backends; XLA gather elsewhere. Opt-in via
+    # FIPM_PALLAS_WARP=1 while device-hang investigation is ongoing (the
+    # kernel is validated in interpret mode and small real runs; large-grid
+    # executions wedged the axon-tunnelled chip once).
+    import os as _os
+    use_pallas = (jax.default_backend() in ("tpu", "axon")
+                  and _os.environ.get("FIPM_PALLAS_WARP", "0") == "1")
 
     def sweep_maps(src_top, templ_top, inv_mats, valid_wh):
         """Per-angle score-map peaks for an arbitrary angle subset:
@@ -166,9 +173,9 @@ def build_stages(plan: _Plan, stats):
 
         def sweep_chunk(args):
             inv_m, vwh = args
-            canv = warp_affine_batch(
+            canv = warp_affine_dispatch(
                 src_top, inv_m, (Hc, Wc), float(plan.border_color),
-                quantize=cfg.quantize_warp)
+                quantize=cfg.quantize_warp, use_pallas=use_pallas)
             smap = ncc_score_map(
                 canv, templ_top, stats_top[0], stats_top[1], stats_top[2],
                 stats_top[3], cfg.compute_dtype)
@@ -202,8 +209,9 @@ def build_stages(plan: _Plan, stats):
         return pt, ang, top_vals, alive
 
     def descend_layer(l, src_l, templ_l, ptLT, ang, score, alive):
-        stats_l = stats[l]
         """One pyramid-descent step for all candidates (chunked)."""
+        stats_l = stats[l]
+        Cl = ptLT.shape[0]
         sh_l, sw_l = src_sizes[l]
         th_l, tw_l = plan.templ_shapes[l]
         center = (jnp.float32((sw_l - 1) / 2.0), jnp.float32((sh_l - 1) / 2.0))
@@ -211,7 +219,7 @@ def build_stages(plan: _Plan, stats):
         roi_hw = (th_l + 6, tw_l + 6)
 
         if k_ang == 1:
-            angs = jnp.zeros((C, 1), jnp.float32)
+            angs = jnp.zeros((Cl, 1), jnp.float32)
         else:
             offs = jnp.array([-step_deg, 0.0, step_deg], jnp.float32)
             angs = ang[:, None] + offs[None, :]
@@ -226,8 +234,9 @@ def build_stages(plan: _Plan, stats):
             lt_rot = rotate_pt_jnp(p2_rep, jnp.stack(center), a_flat * D2R)
             shift = -(lt_rot - 3.0)
             invm = make_rotation_invmaps(center, a_flat, shift)
-            roi = warp_affine_batch(src_l, invm, roi_hw, 0.0,
-                                    quantize=cfg.quantize_warp)
+            roi = warp_affine_dispatch(src_l, invm, roi_hw, 0.0,
+                                       quantize=cfg.quantize_warp,
+                                       use_pallas=use_pallas)
             smap = ncc_score_map(roi, templ_l, stats_l[0], stats_l[1],
                                  stats_l[2], stats_l[3],
                                  cfg.compute_dtype)  # [cc*k, 7, 7]
@@ -248,10 +257,10 @@ def build_stages(plan: _Plan, stats):
                     patch.reshape(cc, k_ang, 3, 3))
 
         chunk = max(1, _CHUNK_BUDGET_ELEMS // (roi_hw[0] * roi_hw[1] * k_ang * 8))
-        v, xy, border, patch = chunked_map(cand_chunk, (ptLT2, angs), C, chunk)
+        v, xy, border, patch = chunked_map(cand_chunk, (ptLT2, angs), Cl, chunk)
 
         imax = jnp.argmax(v, axis=1)  # strict-greater first-wins, like :993
-        ar = jnp.arange(C)
+        ar = jnp.arange(Cl)
         best_v = v[ar, imax]
         best_xy = xy[ar, imax].astype(jnp.float32)
         best_border = border[ar, imax]
@@ -282,6 +291,18 @@ def build_stages(plan: _Plan, stats):
             scale = 1.0 if top == 0 else 2.0
             return ptLT * scale, ang, score, alive
         for l in range(top - 1, stop - 1, -1):
+            # TPU divergence knob: below large layers, narrow the static
+            # candidate set to the top scorers (the reference refines every
+            # candidate; with the generous bound this only drops candidates
+            # that cannot reach the top max_pos).
+            th_l, tw_l = plan.templ_shapes[l]
+            if cfg.narrow_candidates and th_l * tw_l > 4096:
+                cl = min(ptLT.shape[0], max(2 * cfg.max_pos + 4, 16))
+                if cl < ptLT.shape[0]:
+                    key = jnp.where(alive, score, jnp.float32(-2.0))
+                    order = jnp.argsort(-key, stable=True)[:cl]
+                    ptLT, ang, score, alive = (ptLT[order], ang[order],
+                                               score[order], alive[order])
             ptLT, ang, score, alive = descend_layer(
                 l, pyr[l], templs[l], ptLT, ang, score, alive)
         scale = 1.0 if stop == 0 else 2.0
@@ -306,6 +327,12 @@ def build_stages(plan: _Plan, stats):
         keep = filter_overlaps(quads, ok_s, rw * rh, cfg.max_overlap)
 
         svals2 = jnp.where(keep, score_s, jnp.float32(-1.0))
+        if svals2.shape[0] < cfg.max_pos:  # narrowed below max_pos
+            pad = cfg.max_pos - svals2.shape[0]
+            svals2 = jnp.pad(svals2, (0, pad), constant_values=-1.0)
+            pt_s = jnp.pad(pt_s, ((0, pad), (0, 0)))
+            ang_s = jnp.pad(ang_s, (0, pad))
+            keep = jnp.pad(keep, (0, pad))
         ord2 = jnp.argsort(-svals2, stable=True)[: cfg.max_pos]
         r_score = svals2[ord2]
         r_pt = pt_s[ord2]

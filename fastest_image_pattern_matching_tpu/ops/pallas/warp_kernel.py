@@ -1,0 +1,169 @@
+"""Pallas TPU kernel: batched affine bilinear warp without gathers.
+
+XLA lowers bilinear sampling to a scalarized gather (~12 ns/sample on
+v5e) — it was >75% of end-to-end match time. This kernel reformulates
+interpolation as dense ops the TPU is built for:
+
+  For each [TH, TW] output tile of each batched affine map:
+    1. The needed source pixels lie in the rotated tile's bbox — at unit
+       scale at most (TW + TH + 3)^2. One async DMA pulls that WIN x WIN
+       window from the (pre-padded) source in HBM into VMEM.
+    2. X interpolation = one dense matmul:  C = window @ Wx, where
+       Wx[x, n] = (x==x0_n)(1-ax_n) + (x==x0_n+1) ax_n  is built on the
+       VPU from broadcasted iota compares (2 taps per output column).
+    3. Y interpolation = masked reduction:  out[n] = sum_y Wy[y, n] C[y, n]
+       with the same 2-tap structure along y.
+
+  MXU cost ~ WIN^2 * TH*TW per tile; for the flagship refinement layer
+  that is ~8e11 f32 MACs total (~tens of ms) vs 2.3 s for the gather.
+
+Border semantics: the caller pre-pads the source with `border_value` by
+PAD=WIN on every side and passes sampling coordinates in the original
+frame; all clamped accesses then land in the pad region, reproducing
+cv::warpAffine BORDER_CONSTANT including partial-tap blending at the true
+image edge (reference: MatchToolDlg.cpp:856, :1327).
+
+Restriction: |affine linear part| <= 1 per coefficient (pure
+rotation+translation — all uses in this framework). Asserted by caller.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TH = 8      # output tile sublanes
+TW = 128    # output tile lanes
+# Source window per tile: must cover the rotated tile bbox (TW + TH + 3 at
+# unit scale) plus origin alignment slack (8 sublanes / 128 lanes, required
+# for DMA slicing of tiled memrefs).
+WIN_H = 152
+WIN_W = 384  # multiple of 128 (lane-dim slice alignment)
+PAD = 288   # host-side border padding (>= WIN, multiple of 8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_hw", "quantize", "interpret"))
+def warp_affine_pallas(
+    src: jnp.ndarray,          # [H, W] f32 (unpadded)
+    inv_mats: jnp.ndarray,     # [B, 2, 3] f32
+    out_hw: Tuple[int, int],
+    border_value: float,
+    quantize: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    H, W = src.shape
+    Ho, Wo = out_hw
+    B = inv_mats.shape[0]
+    n_ti = pl.cdiv(Ho, TH)
+    n_tj = pl.cdiv(Wo, TW)
+
+    padded = jnp.pad(src, PAD, constant_values=jnp.float32(border_value))
+
+    params = jnp.concatenate([
+        inv_mats[:, 0, :], inv_mats[:, 1, :],
+        jnp.broadcast_to(jnp.array([[float(H), float(W)]], jnp.float32),
+                         (B, 2)),
+    ], axis=1)  # [B, 8]
+
+    out = pl.pallas_call(
+        _warp_kernel_body,
+        grid=(B, n_ti, n_tj),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, TH, TW), lambda b, i, j: (b, i, j)),
+        out_shape=jax.ShapeDtypeStruct((B, n_ti * TH, n_tj * TW),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WIN_H, WIN_W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(params, padded)
+    out = out[:, :Ho, :Wo]
+    if quantize:
+        out = jnp.round(out)
+    return out
+
+
+def _warp_kernel_body(inv_ref, src_hbm, out_ref, win_ref, sem):
+    bi = pl.program_id(0)
+    a = inv_ref[bi, 0]
+    b = inv_ref[bi, 1]
+    tx = inv_ref[bi, 2]
+    c = inv_ref[bi, 3]
+    d = inv_ref[bi, 4]
+    ty = inv_ref[bi, 5]
+    H = inv_ref[bi, 6]
+    W = inv_ref[bi, 7]
+
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    i0 = (ti * TH).astype(jnp.float32)
+    j0 = (tj * TW).astype(jnp.float32)
+
+    lo_x = -jnp.float32(PAD - 2)
+    hi_x = W + jnp.float32(PAD - 3)
+    lo_y = -jnp.float32(PAD - 2)
+    hi_y = H + jnp.float32(PAD - 3)
+
+    def corner(ii, jj):
+        fx = a * jj + b * ii + tx
+        fy = c * jj + d * ii + ty
+        return (jnp.clip(fx, lo_x, hi_x), jnp.clip(fy, lo_y, hi_y))
+
+    cs = [corner(i0, j0), corner(i0 + TH - 1, j0),
+          corner(i0, j0 + TW - 1), corner(i0 + TH - 1, j0 + TW - 1)]
+    min_fx = jnp.minimum(jnp.minimum(cs[0][0], cs[1][0]),
+                         jnp.minimum(cs[2][0], cs[3][0]))
+    min_fy = jnp.minimum(jnp.minimum(cs[0][1], cs[1][1]),
+                         jnp.minimum(cs[2][1], cs[3][1]))
+    wx0 = jnp.floor(min_fx).astype(jnp.int32) - 1
+    wy0 = jnp.floor(min_fy).astype(jnp.int32) - 1
+    Wp = W.astype(jnp.int32) + 2 * PAD
+    Hp = H.astype(jnp.int32) + 2 * PAD
+    # Align the window origin (8 sublanes / 128 lanes) for DMA slicing.
+    ox = jnp.clip(wx0 + PAD, 0, Wp - WIN_W) // 128 * 128
+    oy = jnp.clip(wy0 + PAD, 0, Hp - WIN_H) // 8 * 8
+
+    dma = pltpu.make_async_copy(
+        src_hbm.at[pl.ds(oy, WIN_H), pl.ds(ox, WIN_W)], win_ref, sem)
+    dma.start()
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(
+        jnp.float32) + i0
+    jj = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(
+        jnp.float32) + j0
+    fx = jnp.clip(a * jj + b * ii + tx, lo_x, hi_x).reshape(1, TH * TW)
+    fy = jnp.clip(c * jj + d * ii + ty, lo_y, hi_y).reshape(1, TH * TW)
+    x0f = jnp.floor(fx)
+    y0f = jnp.floor(fy)
+    ax = fx - x0f
+    ay = fy - y0f
+    xr = x0f - (ox - PAD).astype(jnp.float32)   # in [0, WIN-2]
+    yr = y0f - (oy - PAD).astype(jnp.float32)
+
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, TH * TW), 0).astype(
+        jnp.float32)
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (WIN_H, TH * TW), 0).astype(
+        jnp.float32)
+    wx = (jnp.where(iota_x == xr, 1.0 - ax, 0.0)
+          + jnp.where(iota_x == xr + 1.0, ax, 0.0))
+    wy = (jnp.where(iota_y == yr, 1.0 - ay, 0.0)
+          + jnp.where(iota_y == yr + 1.0, ay, 0.0))
+
+    dma.wait()
+    # sum_x win[y, x] wx[x, n] -> [WIN(y), N]
+    cmat = jax.lax.dot_general(
+        win_ref[:], wx, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = jnp.sum(wy * cmat, axis=0)
+    out_ref[0] = out.reshape(TH, TW)

@@ -96,6 +96,24 @@ def warp_affine_batch(
     return out
 
 
+def warp_affine_dispatch(
+    src: jnp.ndarray,
+    inv_mats: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    border_value,
+    quantize: bool = True,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Route to the Pallas matmul-warp kernel (TPU) or the XLA gather path
+    (CPU and fallback)."""
+    if use_pallas:
+        from .pallas.warp_kernel import warp_affine_pallas
+        return warp_affine_pallas(src, inv_mats, out_hw,
+                                  float(border_value), quantize=quantize)
+    return warp_affine_batch(src, inv_mats, out_hw, border_value,
+                             quantize=quantize)
+
+
 def rotate_pt_jnp(pt: jnp.ndarray, org, angle_rad) -> jnp.ndarray:
     """Traced version of utils.geometry.rotate_pt (ptRotatePt2f parity,
     MatchToolDlg.cpp:1469-1480): rotate pt [..., 2] about org by angle_rad

@@ -1,0 +1,52 @@
+"""Conformance regression over the reference's real Test Images pairs.
+
+The reference's spec is its golden tables (README.md:45-71) + golden
+screenshots; Src1/2/5/7/10 are stripped from the repo, so goldens.json
+records our implementation's match lists on the surviving pairs (generated
+by tools/record_goldens.py on CPU). These tests pin them within tight
+tolerances — any algorithmic regression (pyramid, sweep, descent,
+subpixel, NMS) moves scores/poses and fails here.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import fastest_image_pattern_matching_tpu as fipm
+from fastest_image_pattern_matching_tpu.utils.imageio import load_gray
+
+TI = "/root/reference/Test Images"
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens.json")
+
+with open(GOLDENS) as f:
+    _G = json.load(f)
+
+
+def _have(case):
+    return (os.path.exists(f"{TI}/{case['src']}")
+            and os.path.exists(f"{TI}/{case['dst']}"))
+
+
+@pytest.mark.parametrize("name", sorted(_G.keys()))
+def test_conformance_case(name):
+    case = _G[name]
+    if not _have(case):
+        pytest.skip("reference images unavailable")
+    src = load_gray(f"{TI}/{case['src']}")
+    tpl = load_gray(f"{TI}/{case['dst']}")
+    kw = dict(case["config"])
+    cfg = fipm.MatchConfig(**kw)
+    pattern = fipm.learn_pattern(tpl, cfg.min_reduce_area)
+    res = fipm.match(src, pattern, cfg)
+
+    want = case["matches"]
+    assert len(res) == len(want), (
+        f"{name}: {len(res)} matches vs golden {len(want)}")
+    for r, (ws, wa, wx, wy) in zip(res, want):
+        assert abs(r.score - ws) < 5e-3, (name, r.score, ws)
+        da = (r.angle - wa + 180) % 360 - 180
+        assert abs(da) < 0.5, (name, r.angle, wa)
+        assert abs(r.pos_x - wx) < 1.0, (name, r.pos_x, wx)
+        assert abs(r.pos_y - wy) < 1.0, (name, r.pos_y, wy)

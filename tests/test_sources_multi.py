@@ -1,0 +1,77 @@
+"""FrameSource abstraction + multi-template (glyph) matching."""
+
+import numpy as np
+import cv2
+import pytest
+
+from fastest_image_pattern_matching_tpu import MatchConfig
+from fastest_image_pattern_matching_tpu.models.multi_template import (
+    MultiTemplateMatcher)
+from fastest_image_pattern_matching_tpu.utils.sources import (
+    FileSource, FolderSource, SyntheticSource)
+
+
+def _glyph(ch, h=40, w=32):
+    g = np.full((h, w), 20, np.uint8)
+    cv2.putText(g, ch, (4, h - 8), cv2.FONT_HERSHEY_SIMPLEX, 1.1, 230, 3)
+    return g
+
+
+def test_file_and_folder_source(tmp_path, rng):
+    from fastest_image_pattern_matching_tpu.utils.imageio import save_gray
+    imgs = []
+    for i in range(4):
+        img = rng.integers(0, 255, size=(16, 20), dtype=np.uint8)
+        save_gray(str(tmp_path / f"f{i}.bmp"), img)
+        imgs.append(img)
+    fs = FolderSource(str(tmp_path))
+    got = list(fs)
+    assert len(got) == 4
+    for a, b in zip(got, imgs):
+        np.testing.assert_array_equal(a, b)
+
+    fs2 = FileSource([str(tmp_path / "f1.bmp")])
+    np.testing.assert_array_equal(next(iter(fs2)), imgs[1])
+
+
+def test_synthetic_source():
+    t = np.full((10, 12), 200, np.uint8)
+    s = SyntheticSource((64, 80), 3, seed=1, template=t)
+    frames = list(s)
+    assert len(frames) == 3
+    assert all(f.shape == (64, 80) for f in frames)
+    assert frames[0].max() == 200  # template pasted
+
+
+def test_multi_template_glyphs(rng):
+    scene = rng.integers(0, 25, size=(200, 300), dtype=np.uint8)
+    ga, gb = _glyph("A"), _glyph("B")
+    scene[30:70, 40:72] = ga
+    scene[100:140, 150:182] = gb
+    scene[30:70, 200:232] = gb
+
+    m = MultiTemplateMatcher(MatchConfig(max_pos=5, score=0.8,
+                                         tolerance_angle=0.0))
+    m.learn("A", ga)
+    m.learn("B", gb)
+    out = m.match_all(scene)
+    labels = sorted((lm.label, round(lm.result.center[0]))
+                    for lm in out if lm.result.score > 0.9)
+    assert ("A", 40 + 15) in [(l, x) for l, x in labels] or \
+           ("A", 40 + 16) in [(l, x) for l, x in labels]
+    assert sum(1 for l, _ in labels if l == "B") == 2
+
+
+def test_multi_template_glyph_dir(tmp_path, rng):
+    from fastest_image_pattern_matching_tpu.utils.imageio import save_gray
+    ga, gb = _glyph("X"), _glyph("Y")
+    save_gray(str(tmp_path / "X.bmp"), ga)
+    save_gray(str(tmp_path / "Y.bmp"), gb)
+    scene = rng.integers(0, 25, size=(150, 150), dtype=np.uint8)
+    scene[20:60, 30:62] = ga
+    m = MultiTemplateMatcher(MatchConfig(max_pos=3, score=0.85,
+                                         tolerance_angle=0.0))
+    m.learn_glyph_dir(str(tmp_path))
+    assert set(m.patterns) == {"X", "Y"}
+    out = m.match_all(scene, cross_nms=True)
+    assert out and out[0].label == "X"

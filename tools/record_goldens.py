@@ -1,0 +1,76 @@
+"""Record conformance goldens for the real Test Images pairs.
+
+The reference has no automated tests; its README tables are the spec. We
+record our implementation's (score, angle, x, y) lists on the available
+real pairs as regression goldens (tests/goldens.json), asserted by
+tests/test_conformance.py within tight tolerances. Run on CPU for
+platform-independent numerics:
+
+    python tools/record_goldens.py
+"""
+
+import json
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import fastest_image_pattern_matching_tpu as fipm
+from fastest_image_pattern_matching_tpu.utils.imageio import load_gray
+
+TI = "/root/reference/Test Images"
+
+# (name, src, dst, config kwargs) — chosen to exercise the regimes of
+# README Tests 1-7 on the pairs whose source images survive in the repo.
+CASES = [
+    ("src4_tol0_multi", f"{TI}/Src4.bmp", f"{TI}/Dst4.bmp",
+     dict(max_pos=40, score=0.5, tolerance_angle=0.0, max_overlap=0.5,
+          min_reduce_area=256)),
+    ("src4_tol180", f"{TI}/Src4.bmp", f"{TI}/Dst4.bmp",
+     dict(max_pos=5, score=0.8, tolerance_angle=180.0, max_overlap=0.1,
+          min_reduce_area=256)),
+    ("src3_tol180", f"{TI}/Src3.bmp", f"{TI}/Dst3.bmp",
+     dict(max_pos=10, score=0.8, tolerance_angle=180.0, max_overlap=0.1,
+          min_reduce_area=256)),
+    ("src8_tol180", f"{TI}/Src8.bmp", f"{TI}/Dst8.bmp",
+     dict(max_pos=3, score=0.5, tolerance_angle=180.0, max_overlap=0.1,
+          min_reduce_area=256)),
+    ("src9_tol180", f"{TI}/Src9.bmp", f"{TI}/Dst9.bmp",
+     dict(max_pos=5, score=0.5, tolerance_angle=180.0, max_overlap=0.2,
+          min_reduce_area=256)),
+    ("src9_fastmode", f"{TI}/Src9.bmp", f"{TI}/Dst9.bmp",
+     dict(max_pos=5, score=0.5, tolerance_angle=180.0, max_overlap=0.2,
+          min_reduce_area=256, fast_mode=True)),
+]
+
+
+def main():
+    out = {}
+    for name, src_p, dst_p, kw in CASES:
+        src = load_gray(src_p)
+        tpl = load_gray(dst_p)
+        cfg = fipm.MatchConfig(**kw)
+        pattern = fipm.learn_pattern(tpl, cfg.min_reduce_area)
+        res = fipm.match(src, pattern, cfg)
+        out[name] = {
+            "src": os.path.basename(src_p), "dst": os.path.basename(dst_p),
+            "config": kw,
+            "matches": [[round(r.score, 5), round(r.angle, 4),
+                         round(r.pos_x, 3), round(r.pos_y, 3)]
+                        for r in res],
+        }
+        print(f"{name}: {len(res)} matches; "
+              f"best={out[name]['matches'][:1]}")
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "goldens.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
