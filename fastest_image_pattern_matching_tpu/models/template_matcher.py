@@ -154,13 +154,15 @@ def build_stages(plan: _Plan, stats):
     k_ang = plan.k_ang
 
     src_sizes = geometry.pyramid_sizes(plan.src_hw, top)
-    # Pallas matmul-warp on TPU backends; XLA gather elsewhere. Opt-in via
-    # FIPM_PALLAS_WARP=1 while device-hang investigation is ongoing (the
-    # kernel is validated in interpret mode and small real runs; large-grid
-    # executions wedged the axon-tunnelled chip once).
+    # Warp implementation: FIPM_WARP_IMPL=gather|sliced|pallas overrides;
+    # default "sliced" on TPU backends (safe XLA path, coarser gather) and
+    # "gather" on CPU. "pallas" (matmul-interpolation kernel) is opt-in
+    # while a device-hang seen on large grids via the axon tunnel is
+    # investigated.
     import os as _os
-    use_pallas = (jax.default_backend() in ("tpu", "axon")
-                  and _os.environ.get("FIPM_PALLAS_WARP", "0") == "1")
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    warp_impl = _os.environ.get("FIPM_WARP_IMPL",
+                                "sliced" if on_tpu else "gather")
 
     def sweep_maps(src_top, templ_top, inv_mats, valid_wh):
         """Per-angle score-map peaks for an arbitrary angle subset:
@@ -175,7 +177,7 @@ def build_stages(plan: _Plan, stats):
             inv_m, vwh = args
             canv = warp_affine_dispatch(
                 src_top, inv_m, (Hc, Wc), float(plan.border_color),
-                quantize=cfg.quantize_warp, use_pallas=use_pallas)
+                quantize=cfg.quantize_warp, impl=warp_impl)
             smap = ncc_score_map(
                 canv, templ_top, stats_top[0], stats_top[1], stats_top[2],
                 stats_top[3], cfg.compute_dtype)
@@ -236,7 +238,7 @@ def build_stages(plan: _Plan, stats):
             invm = make_rotation_invmaps(center, a_flat, shift)
             roi = warp_affine_dispatch(src_l, invm, roi_hw, 0.0,
                                        quantize=cfg.quantize_warp,
-                                       use_pallas=use_pallas)
+                                       impl=warp_impl)
             smap = ncc_score_map(roi, templ_l, stats_l[0], stats_l[1],
                                  stats_l[2], stats_l[3],
                                  cfg.compute_dtype)  # [cc*k, 7, 7]
