@@ -154,15 +154,12 @@ def build_stages(plan: _Plan, stats):
     k_ang = plan.k_ang
 
     src_sizes = geometry.pyramid_sizes(plan.src_hw, top)
-    # Warp implementation: FIPM_WARP_IMPL=gather|sliced|pallas overrides;
-    # default "sliced" on TPU backends (safe XLA path, coarser gather) and
-    # "gather" on CPU. "pallas" (matmul-interpolation kernel) is opt-in
-    # while a device-hang seen on large grids via the axon tunnel is
-    # investigated.
+    # Warp implementation: FIPM_WARP_IMPL=gather|sliced|pallas overrides.
+    # "gather" is the safe default everywhere ("sliced" OOMs on TPU — the
+    # [N,2] gather-index layout pads 2 -> 128 lanes; "pallas" is the fast
+    # TPU kernel, opt-in until large-grid execution is validated).
     import os as _os
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    warp_impl = _os.environ.get("FIPM_WARP_IMPL",
-                                "sliced" if on_tpu else "gather")
+    warp_impl = _os.environ.get("FIPM_WARP_IMPL", "gather")
 
     def sweep_maps(src_top, templ_top, inv_mats, valid_wh):
         """Per-angle score-map peaks for an arbitrary angle subset:
