@@ -12,11 +12,12 @@ correlation, vmapped warps, on-device reductions, mesh sharding.
 from .config import MatchConfig
 from .types import LearnedPattern, MatchResult
 from .models.template_matcher import (TemplateMatcher, learn_pattern, match,
-                                      match_arrays)
+                                      match_arrays, match_template)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "MatchConfig", "LearnedPattern", "MatchResult",
     "TemplateMatcher", "learn_pattern", "match", "match_arrays",
+    "match_template",
 ]

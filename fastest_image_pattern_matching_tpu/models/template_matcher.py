@@ -446,3 +446,28 @@ def match(src: np.ndarray, pattern: LearnedPattern,
             lt=tuple(c[0].tolist()), rt=tuple(c[1].tolist()),
             rb=tuple(c[2].tolist()), lb=tuple(c[3].tolist())))
     return results
+
+
+def match_template(src: np.ndarray, templ: np.ndarray,
+                   method: str = "auto",
+                   compute_dtype: str = "bf16") -> np.ndarray:
+    """Plain full-resolution TM_CCOEFF_NORMED score map — the
+    cv::matchTemplate-equivalent no-pyramid path (BASELINE config 1).
+
+    method: "conv" (MXU implicit matmul), "fft" (frequency-domain
+    cross-correlation, best for large template x large source), "auto".
+    """
+    src = np.asarray(src)
+    templ = np.asarray(templ)
+    if src.ndim == 3:
+        src = src[..., 0]
+    if templ.ndim == 3:
+        templ = templ[..., 0]
+    area = templ.size
+    mean = float(np.mean(templ, dtype=np.float64))
+    var = float(np.mean((templ.astype(np.float64) - mean) ** 2))
+    norm = float(np.sqrt(var) * np.sqrt(area))
+    out = ncc_score_map(
+        jnp.asarray(src, jnp.float32)[None], jnp.asarray(templ, jnp.float32),
+        mean, norm, 1.0 / area, var < DBL_EPSILON, compute_dtype, method)
+    return np.asarray(out[0])

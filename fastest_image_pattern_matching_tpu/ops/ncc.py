@@ -72,6 +72,27 @@ def ccorr_conv(
     return out.astype(jnp.float32)
 
 
+def ccorr_fft(
+    canvases_c: jnp.ndarray,   # [B, H, W] f32, centered
+    templ_c: jnp.ndarray,      # [h, w] f32, centered
+) -> jnp.ndarray:
+    """Raw centered cross-correlation via FFT -> [B, Ho, Wo] f32.
+
+    Valid-mode correlation falls out of a circular FFT of the *source*
+    size: wraparound only contaminates outputs beyond (H-h+1, W-w+1),
+    which are sliced away. Preferable to the conv path when
+    Ho*Wo*h*w >> H*W*log(H*W) (large template AND large search area —
+    the no-pyramid TM_CCOEFF_NORMED regime; the pyramid path's top layer
+    is small enough that the MXU conv wins).
+    """
+    B, H, W = canvases_c.shape
+    h, w = templ_c.shape
+    fs = jnp.fft.rfft2(canvases_c, s=(H, W))
+    ft = jnp.fft.rfft2(templ_c, s=(H, W))
+    corr = jnp.fft.irfft2(fs * jnp.conj(ft)[None], s=(H, W))
+    return corr[:, : H - h + 1, : W - w + 1].astype(jnp.float32)
+
+
 def ncc_score_map(
     canvases: jnp.ndarray,      # [B, H, W] f32 (u8-valued)
     templ: jnp.ndarray,         # [h, w] f32 (u8-valued)
@@ -80,12 +101,16 @@ def ncc_score_map(
     inv_area: float,
     result_equal1: bool,
     compute_dtype: str = "bf16",
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Fused TM_CCORR + CCOEFF_Denominator -> [B, Ho, Wo] f32 scores.
 
     Matches cv::matchTemplate(TM_CCOEFF_NORMED) semantics including the
     flat-template all-ones shortcut (MatchToolDlg.cpp:1331-1335) and the
     epsilon/1.125 guards (:1384-1395).
+
+    method: "conv" (MXU), "fft", or "auto" (fft when the implicit-matmul
+    cost dwarfs the transform cost — large template x large search area).
     """
     h, w = templ.shape
     B, H, W = canvases.shape
@@ -96,7 +121,16 @@ def ncc_score_map(
     sc = canvases - 128.0
     tc = templ - 128.0
 
-    ccorr_c = ccorr_conv(sc, tc, compute_dtype)
+    if method == "auto":
+        import math as _math
+        # MXU MACs are ~2 orders cheaper than FFT butterflies on TPU.
+        conv_cost = (H - h + 1) * (W - w + 1) * h * w
+        fft_cost = 4000.0 * H * W * _math.log2(max(H * W, 2))
+        method = "fft" if conv_cost > fft_cost else "conv"
+    if method == "fft":
+        ccorr_c = ccorr_fft(sc, tc)
+    else:
+        ccorr_c = ccorr_conv(sc, tc, compute_dtype)
     s1c = window_sums(sc, (h, w))
     s2c = window_sums(sc * sc, (h, w))
 

@@ -82,3 +82,26 @@ def test_window_sums(rng):
         for j in range(24):
             want[:, i, j] = x[:, i:i + 5, j:j + 7].sum(axis=(1, 2))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_ncc_fft_matches_opencv(rng):
+    src = rng.integers(0, 256, size=(160, 190), dtype=np.uint8)
+    templ = rng.integers(0, 256, size=(70, 90), dtype=np.uint8)
+    ref = cv2.matchTemplate(src, templ, cv2.TM_CCOEFF_NORMED)
+    mean, norm, inv_area = _stats(templ)
+    got = np.asarray(ncc_score_map(
+        jnp.asarray(src, jnp.float32)[None], jnp.asarray(templ, jnp.float32),
+        mean, norm, inv_area, False, "f32", method="fft"))[0]
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_match_template_public_api(rng):
+    from fastest_image_pattern_matching_tpu import match_template
+    src = rng.integers(0, 256, size=(100, 120), dtype=np.uint8)
+    templ = src[30:70, 40:95].copy()
+    for method in ("conv", "fft", "auto"):
+        got = match_template(src, templ, method=method)
+        ref = cv2.matchTemplate(src, templ, cv2.TM_CCOEFF_NORMED)
+        assert got.shape == ref.shape
+        assert np.unravel_index(np.argmax(got), got.shape) == (30, 40)
+        np.testing.assert_allclose(got, ref, atol=3e-3)
