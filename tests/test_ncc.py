@@ -105,3 +105,14 @@ def test_match_template_public_api(rng):
         assert got.shape == ref.shape
         assert np.unravel_index(np.argmax(got), got.shape) == (30, 40)
         np.testing.assert_allclose(got, ref, atol=3e-3)
+
+
+def test_ncc_int8_matches_opencv(rng):
+    src = rng.integers(0, 256, size=(80, 90), dtype=np.uint8)
+    templ = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)
+    ref = cv2.matchTemplate(src, templ, cv2.TM_CCOEFF_NORMED)
+    mean, norm, inv_area = _stats(templ)
+    got = np.asarray(ncc_score_map(
+        jnp.asarray(src, jnp.float32)[None], jnp.asarray(templ, jnp.float32),
+        mean, norm, inv_area, False, "int8", method="conv"))[0]
+    np.testing.assert_allclose(got, ref, atol=1e-5)
