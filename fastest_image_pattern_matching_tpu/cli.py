@@ -54,8 +54,22 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--max-good-matches", type=int, default=150)
     o.add_argument("--ransac-threshold", type=float, default=2.0)
     o.add_argument("--json", action="store_true")
+    o.add_argument("--output-image", help="write side-by-side match "
+                   "visualization (drawMatches equivalent)")
 
     b = sub.add_parser("bench", help="run the benchmark harness")
+
+    w = sub.add_parser("watch", help="live inspection: poll a directory "
+                       "for new images and match each (camera-loop analogue)")
+    w.add_argument("-t", "--template", required=True)
+    w.add_argument("--directory", required=True)
+    w.add_argument("--out", default=None, help="JSONL results path")
+    w.add_argument("--interval", type=float, default=0.5)
+    w.add_argument("--max-frames", type=int, default=0,
+                   help="stop after N frames (0 = forever)")
+    w.add_argument("--score", type=float, default=0.7)
+    w.add_argument("--max-pos", type=int, default=10)
+    w.add_argument("--tolerance-angle", type=float, default=180.0)
     return p
 
 
@@ -151,7 +165,74 @@ def _cmd_orb(args) -> int:
     else:
         for k, v in out.items():
             print(f"{k}: {v}")
+
+    if args.output_image and res.is_matched:
+        # Side-by-side visualization like getMatchResultImage
+        # (ORBFeatureMatcher.cpp:260-327).
+        import cv2
+        import numpy as np
+        h = max(src.shape[0], tpl.shape[0])
+        canvas = np.zeros((h, src.shape[1] + tpl.shape[1], 3), np.uint8)
+        canvas[:src.shape[0], :src.shape[1]] = cv2.cvtColor(
+            src, cv2.COLOR_GRAY2BGR)
+        canvas[:tpl.shape[0], src.shape[1]:] = cv2.cvtColor(
+            tpl, cv2.COLOR_GRAY2BGR)
+        off = src.shape[1]
+        if res.src_pts is not None:
+            for sp, tp, ok in zip(res.src_pts, res.dst_pts, res.inlier_mask):
+                color = (0, 255, 0) if ok else (80, 80, 200)
+                cv2.line(canvas, (int(sp[0]), int(sp[1])),
+                         (int(tp[0]) + off, int(tp[1])), color, 1)
+        if res.corners is not None:
+            c = res.corners.astype(int)
+            for i in range(4):
+                cv2.line(canvas, tuple(c[i]), tuple(c[(i + 1) % 4]),
+                         (0, 255, 255), 2)
+        cv2.imwrite(args.output_image, canvas)
     return 0
+
+
+def _cmd_watch(args) -> int:
+    """Poll a directory for new images, match each as it appears — the
+    headless analogue of the camera live path (imageCaptured ->
+    onCameraImageCaptured, src/MatchToolDialog.cpp:1557)."""
+    import os
+    import glob
+    from . import MatchConfig, learn_pattern, match
+    from .utils.imageio import load_gray
+    from .utils.serialization import append_jsonl, match_results_to_dict
+
+    tpl = load_gray(args.template)
+    cfg = MatchConfig(max_pos=args.max_pos, score=args.score,
+                      tolerance_angle=args.tolerance_angle)
+    pattern = learn_pattern(tpl, cfg.min_reduce_area)
+    seen = set()
+    n = 0
+    while True:
+        paths = sorted(
+            p for pat in ("*.bmp", "*.jpg", "*.png")
+            for p in glob.glob(os.path.join(args.directory, pat)))
+        for p in paths:
+            if p in seen:
+                continue
+            seen.add(p)
+            try:
+                src = load_gray(p)
+            except (ValueError, FileNotFoundError):
+                continue
+            t0 = time.perf_counter()
+            res = match(src, pattern, cfg)
+            ms = (time.perf_counter() - t0) * 1000
+            rec = {"path": p, **match_results_to_dict(res, ms)}
+            print(f"{os.path.basename(p)}: {len(res)} matches, {ms:.0f} ms")
+            if args.out:
+                append_jsonl(args.out, rec)
+            n += 1
+            if args.max_frames and n >= args.max_frames:
+                return 0
+        if args.max_frames and n >= args.max_frames:
+            return 0
+        time.sleep(args.interval)
 
 
 def main(argv=None) -> int:
@@ -163,6 +244,8 @@ def main(argv=None) -> int:
         return _cmd_match(args)
     if args.command == "orb":
         return _cmd_orb(args)
+    if args.command == "watch":
+        return _cmd_watch(args)
     if args.command == "bench":
         import runpy
         runpy.run_path("bench.py", run_name="__main__")
