@@ -64,6 +64,13 @@ class MatchConfig:
     # target ranks >16th). Enable for strong-target production workloads
     # where it halves refinement cost.
     narrow_candidates: bool = False
+    # Two-phase adaptive compaction: run cheap upper pyramid layers, read
+    # the survivor count on the host, and dispatch the expensive low
+    # layers with a right-sized candidate set. Exactly equivalent results
+    # (only already-dead candidates are dropped); saves most of the
+    # refinement cost when few candidates survive. One extra host
+    # round-trip per match.
+    two_phase: bool = True
 
     def __post_init__(self):
         if not (1 <= self.max_pos <= 200):

@@ -279,17 +279,15 @@ def build_stages(plan: _Plan, stats):
         pt = rotate_pt_jnp(pt, jnp.stack(center), -best_ang * D2R)
         return pt, best_ang, score, alive
 
-    def descend(pyr, templs, pt, ang, score, alive):
-        """Initial un-rotation + full pyramid descent to the stop layer."""
+    def unrotate(pt, ang):
         sh_t, sw_t = src_sizes[top]
         center_top = jnp.array([(sw_t - 1) / 2.0, (sh_t - 1) / 2.0],
                                jnp.float32)
-        ptLT = rotate_pt_jnp(pt, center_top, -ang * D2R)
+        return rotate_pt_jnp(pt, center_top, -ang * D2R)
 
-        if top <= stop:
-            scale = 1.0 if top == 0 else 2.0
-            return ptLT * scale, ang, score, alive
-        for l in range(top - 1, stop - 1, -1):
+    def descend_range(pyr, templs, ptLT, ang, score, alive, l_from, l_to):
+        """Pyramid descent over layers l_from..l_to (inclusive, downward)."""
+        for l in range(l_from, l_to - 1, -1):
             # TPU divergence knob: below large layers, narrow the static
             # candidate set to the top scorers (the reference refines every
             # candidate; with the generous bound this only drops candidates
@@ -304,6 +302,17 @@ def build_stages(plan: _Plan, stats):
                                                score[order], alive[order])
             ptLT, ang, score, alive = descend_layer(
                 l, pyr[l], templs[l], ptLT, ang, score, alive)
+        return ptLT, ang, score, alive
+
+    def descend(pyr, templs, pt, ang, score, alive):
+        """Initial un-rotation + full pyramid descent to the stop layer."""
+        ptLT = unrotate(pt, ang)
+
+        if top <= stop:
+            scale = 1.0 if top == 0 else 2.0
+            return ptLT * scale, ang, score, alive
+        ptLT, ang, score, alive = descend_range(
+            pyr, templs, ptLT, ang, score, alive, top - 1, stop)
         scale = 1.0 if stop == 0 else 2.0
         return ptLT * scale, ang, score, alive
 
@@ -363,6 +372,41 @@ def build_stages(plan: _Plan, stats):
     class _Stages:
         pass
 
+    # Split layer for two-phase adaptive compaction: the first (highest)
+    # layer whose template is large enough that per-candidate cost
+    # dominates. None = no split (small templates).
+    split = None
+    for l in range(top - 1, stop - 1, -1):
+        if plan.templ_shapes[l][0] * plan.templ_shapes[l][1] > 4096:
+            split = l
+            break
+    if split is not None and split == top - 1:
+        split = None  # nothing cheap to run first
+
+    def phase_a(src, templs, inv_mats, trans, valid_wh, angles_arr):
+        """Pyramid + sweep + cheap upper descent; returns carry state and
+        the pyramid levels still needed by phase B."""
+        if cfg.bitwise_not:
+            src = 255.0 - src
+        pyr = build_pyramid(src, top)
+        vals, locs = sweep_maps(pyr[top], templs[top], inv_mats, valid_wh)
+        pt, ang, score, alive = select_candidates(vals, locs, trans,
+                                                  angles_arr)
+        ptLT = unrotate(pt, ang)
+        ptLT, ang, score, alive = descend_range(
+            pyr, templs, ptLT, ang, score, alive, top - 1, split + 1)
+        return (ptLT, ang, score, alive), tuple(pyr[stop:split + 1])
+
+    def phase_b(state, pyr_low, templs):
+        """Expensive low-layer descent on a compacted candidate set +
+        finalize. pyr_low = (pyr[stop], ..., pyr[split])."""
+        ptLT, ang, score, alive = state
+        pyr = [None] * stop + list(pyr_low)
+        ptLT, ang, score, alive = descend_range(
+            pyr, templs, ptLT, ang, score, alive, split, stop)
+        scale = 1.0 if stop == 0 else 2.0
+        return finalize(ptLT * scale, ang, score, alive)
+
     st = _Stages()
     st.plan = plan
     st.sweep_maps = sweep_maps
@@ -370,6 +414,9 @@ def build_stages(plan: _Plan, stats):
     st.descend = descend
     st.finalize = finalize
     st.match_fn = match_fn
+    st.split = split
+    st.phase_a = phase_a
+    st.phase_b = phase_b
     return st
 
 
@@ -381,6 +428,34 @@ def _build_match_fn(plan: _Plan, stats):
 @functools.lru_cache(maxsize=32)
 def _compiled(plan: _Plan, stats):
     return _build_match_fn(plan, stats)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_phase_a(plan: _Plan, stats):
+    return jax.jit(build_stages(plan, stats).phase_a)
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_phase_b(plan: _Plan, stats, c_compact: int):
+    st = build_stages(plan, stats)
+
+    def fn(state, pyr_low, templs):
+        return st.phase_b(state, pyr_low, templs)
+
+    return jax.jit(fn)
+
+
+def _bucket(n: int, cap: int) -> int:
+    """Power-of-two candidate bucket (>= 4) for phase-B compile caching."""
+    b = 4
+    while b < n:
+        b *= 2
+    return min(b, cap)
+
+
+@functools.lru_cache(maxsize=64)
+def _stage_split(plan: _Plan, stats):
+    return build_stages(plan, stats).split
 
 
 class TemplateMatcher:
@@ -421,11 +496,41 @@ def match_arrays(src: np.ndarray, pattern: LearnedPattern,
     inv_mats, trans, valid_wh, angles_arr = _top_sweep_arrays(plan)
     stats = tuple((lv.mean, lv.norm, lv.inv_area, lv.result_equal1)
                   for lv in pattern.levels)
-    fn = _compiled(plan, stats)
     templs = tuple(jnp.asarray(lv.templ) for lv in pattern.levels)
-    out = fn(jnp.asarray(src, jnp.float32), templs,
-             jnp.asarray(inv_mats), jnp.asarray(trans),
-             jnp.asarray(valid_wh), jnp.asarray(angles_arr))
+    args = (jnp.asarray(src, jnp.float32), templs,
+            jnp.asarray(inv_mats), jnp.asarray(trans),
+            jnp.asarray(valid_wh), jnp.asarray(angles_arr))
+
+    # Two-phase adaptive compaction: run the cheap upper layers, read the
+    # survivor count on host, then dispatch the expensive low layers with a
+    # right-sized (power-of-two bucketed) candidate set. Exactly equivalent
+    # to the single program — only already-dead candidates are dropped.
+    if cfg.two_phase:
+        st_meta = _stage_split(plan, stats)
+        if st_meta is not None:
+            state, pyr_low = _compiled_phase_a(plan, stats)(*args)
+            alive = np.asarray(state[3])
+            score_h = np.asarray(state[2])
+            n_alive = int(alive.sum())
+            if n_alive == 0:
+                mp = cfg.max_pos
+                return {
+                    "score": np.full(mp, -1.0, np.float32),
+                    "angle": np.zeros(mp, np.float32),
+                    "corners": np.zeros((mp, 4, 2), np.float32),
+                    "center": np.zeros((mp, 2), np.float32),
+                    "valid": np.zeros(mp, bool),
+                }
+            c2 = _bucket(n_alive, alive.shape[0])
+            key = np.where(alive, score_h, -2.0)
+            order = np.argsort(-key, kind="stable")[:c2]
+            state2 = tuple(np.asarray(x)[order] for x in state)
+            out = _compiled_phase_b(plan, stats, c2)(
+                tuple(jnp.asarray(x) for x in state2), pyr_low, templs)
+            return {k: np.asarray(v) for k, v in out.items()}
+
+    fn = _compiled(plan, stats)
+    out = fn(*args)
     return {k: np.asarray(v) for k, v in out.items()}
 
 
