@@ -75,3 +75,37 @@ def test_multi_template_glyph_dir(tmp_path, rng):
     assert set(m.patterns) == {"X", "Y"}
     out = m.match_all(scene, cross_nms=True)
     assert out and out[0].label == "X"
+
+
+def test_m12_real_glyphs():
+    """The reference's OCR demo assets (Test Images/M12, the disabled
+    36-glyph loop MatchToolDlg.cpp:714-771): learn real glyph templates and
+    read back a composed text line."""
+    import os
+    m12 = "/root/reference/Test Images/M12"
+    if not os.path.isdir(m12):
+        pytest.skip("M12 assets unavailable")
+    from fastest_image_pattern_matching_tpu.utils.imageio import load_gray
+    glyphs = {}
+    for ch in ["0", "3", "7", "A", "M"]:
+        glyphs[ch] = load_gray(f"{m12}/{ch}.jpg")
+    rng2 = np.random.default_rng(2)
+    scene = rng2.integers(200, 255, size=(120, 400), dtype=np.uint8)
+    text = ["M", "3", "7", "A", "0"]
+    for i, ch in enumerate(text):
+        g = glyphs[ch]
+        scene[40:40 + g.shape[0], 30 + i * 70:30 + i * 70 + g.shape[1]] = g
+
+    m = MultiTemplateMatcher(MatchConfig(max_pos=6, score=0.85,
+                                         tolerance_angle=0.0,
+                                         min_reduce_area=64))
+    for ch, g in glyphs.items():
+        m.learn(ch, g)
+    out = m.match_all(scene)
+    best = {}
+    for lm in out:
+        x = round(lm.result.center[0] / 70)
+        if x not in best or lm.result.score > best[x][1]:
+            best[x] = (lm.label, lm.result.score)
+    read = [best[k][0] for k in sorted(best)]
+    assert read == text, (read, [(k, v) for k, v in sorted(best.items())])
