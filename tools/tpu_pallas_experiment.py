@@ -49,10 +49,10 @@ def main():
     for B in (2, 8, 32, 96):
         log(f"step warp B={B}: compile+run (np.asarray forced)")
         t0 = time.time()
-        out = np.asarray(warp_affine_pallas(srcj, make_inv(0, B), out_hw, 0.0))
+        out = np.asarray(warp_affine_pallas(srcj, make_inv(0, B, center), out_hw, 0.0))
         log(f"  done in {time.time()-t0:.2f}s mean={out.mean():.3f}")
         t0 = time.time()
-        out = np.asarray(warp_affine_pallas(srcj, make_inv(1, B), out_hw, 0.0))
+        out = np.asarray(warp_affine_pallas(srcj, make_inv(1, B, center), out_hw, 0.0))
         log(f"  second (cached compile): {time.time()-t0:.2f}s")
 
     log("step fused: pallas warp + ncc inside one jit (layer-0 shapes)")
@@ -68,11 +68,11 @@ def main():
                              False, "bf16", method="conv")
 
     t0 = time.time()
-    sm = np.asarray(fused(srcj, make_inv(2, 24), jnp.asarray(templ)))
+    sm = np.asarray(fused(srcj, make_inv(2, 24, center), jnp.asarray(templ)))
     log(f"  fused 24 maps done in {time.time()-t0:.2f}s shape={sm.shape} "
         f"max={sm.max():.3f}")
     t0 = time.time()
-    sm = np.asarray(fused(srcj, make_inv(3, 24), jnp.asarray(templ)))
+    sm = np.asarray(fused(srcj, make_inv(3, 24, center), jnp.asarray(templ)))
     log(f"  fused second: {time.time()-t0:.2f}s")
     log("ALL OK — safe to enable FIPM_WARP_IMPL=pallas")
 
