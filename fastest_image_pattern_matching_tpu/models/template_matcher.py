@@ -170,11 +170,24 @@ def build_stages(plan: _Plan, stats):
         xs = jax.lax.broadcasted_iota(jnp.int32, (Hc - th_t + 1, Wc - tw_t + 1), 1)
         ys = jax.lax.broadcasted_iota(jnp.int32, (Hc - th_t + 1, Wc - tw_t + 1), 0)
 
+        identity_sweep = (len(plan.angles) == 1 and plan.angles[0] == 0.0)
+
         def sweep_chunk(args):
             inv_m, vwh = args
-            canv = warp_affine_dispatch(
-                src_top, inv_m, (Hc, Wc), float(plan.border_color),
-                quantize=cfg.quantize_warp, impl=warp_impl)
+            if identity_sweep:
+                # tol=0: the rotation canvas IS the source (best size =
+                # source size, zero translation) — no warp needed.
+                canv = jnp.broadcast_to(src_top, (inv_m.shape[0],) +
+                                        src_top.shape)
+                if src_top.shape != (Hc, Wc):
+                    canv = jnp.pad(
+                        canv, ((0, 0), (0, Hc - src_top.shape[0]),
+                               (0, Wc - src_top.shape[1])),
+                        constant_values=float(plan.border_color))
+            else:
+                canv = warp_affine_dispatch(
+                    src_top, inv_m, (Hc, Wc), float(plan.border_color),
+                    quantize=cfg.quantize_warp, impl=warp_impl)
             smap = ncc_score_map(
                 canv, templ_top, stats_top[0], stats_top[1], stats_top[2],
                 stats_top[3], cfg.compute_dtype)
@@ -225,17 +238,51 @@ def build_stages(plan: _Plan, stats):
 
         ptLT2 = ptLT * 2.0
 
+        # Pure-translation fast path (tol=0, single angle 0): one
+        # dynamic_slice per candidate + static-shift bilinear — no gather.
+        pad_h, pad_w = roi_hw[0] + 8, roi_hw[1] + 8
+        src_l_padded = None
+        if k_ang == 1:
+            src_l_padded = jnp.pad(src_l, ((pad_h, pad_h), (pad_w, pad_w)))
+
+        def _translated_rois(p2):
+            # ROI dst (x,y) samples src at (x + p2x - 3, y + p2y - 3).
+            sx = p2[:, 0] - 3.0
+            sy = p2[:, 1] - 3.0
+            x0 = jnp.floor(sx)
+            y0 = jnp.floor(sy)
+            fx = (sx - x0)[:, None, None]
+            fy = (sy - y0)[:, None, None]
+            xi = jnp.clip(x0.astype(jnp.int32) + pad_w, 0,
+                          src_l_padded.shape[1] - roi_hw[1] - 1)
+            yi = jnp.clip(y0.astype(jnp.int32) + pad_h, 0,
+                          src_l_padded.shape[0] - roi_hw[0] - 1)
+            big = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
+                src_l_padded, (yy, xx),
+                (roi_hw[0] + 1, roi_hw[1] + 1)))(yi, xi)
+            out = ((1 - fx) * (1 - fy) * big[:, :-1, :-1]
+                   + fx * (1 - fy) * big[:, :-1, 1:]
+                   + (1 - fx) * fy * big[:, 1:, :-1]
+                   + fx * fy * big[:, 1:, 1:])
+            if cfg.quantize_warp:
+                out = jnp.round(out)
+            return out
+
         def cand_chunk(args):
             p2, aa = args  # [cc,2], [cc,k_ang]
             cc = p2.shape[0]
             a_flat = aa.reshape(cc * k_ang)
-            p2_rep = jnp.repeat(p2, k_ang, axis=0)
-            lt_rot = rotate_pt_jnp(p2_rep, jnp.stack(center), a_flat * D2R)
-            shift = -(lt_rot - 3.0)
-            invm = make_rotation_invmaps(center, a_flat, shift)
-            roi = warp_affine_dispatch(src_l, invm, roi_hw, 0.0,
-                                       quantize=cfg.quantize_warp,
-                                       impl=warp_impl)
+            if k_ang == 1:
+                roi = _translated_rois(p2)
+            else:
+                p2_rep = jnp.repeat(p2, k_ang, axis=0)
+                lt_rot = rotate_pt_jnp(p2_rep, jnp.stack(center),
+                                       a_flat * D2R)
+                shift = -(lt_rot - 3.0)
+                invm = make_rotation_invmaps(center, a_flat, shift)
+                roi = warp_affine_dispatch(src_l, invm, roi_hw, 0.0,
+                                           quantize=cfg.quantize_warp,
+                                           impl=warp_impl)
             smap = ncc_score_map(roi, templ_l, stats_l[0], stats_l[1],
                                  stats_l[2], stats_l[3],
                                  cfg.compute_dtype)  # [cc*k, 7, 7]
