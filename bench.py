@@ -54,6 +54,18 @@ def _build_src7_like():
 
 
 def main():
+    from fastest_image_pattern_matching_tpu.utils.health import wait_for_device
+    # The tunnelled TPU terminal can wedge for tens of minutes (and return
+    # garbage buffers mid-wedge); wait for a verified-healthy window first.
+    if not wait_for_device(max_wait_s=2400.0):
+        print(json.dumps({
+            "metric": "src7_flagship_e2e_ms", "value": -1.0, "unit": "ms",
+            "vs_baseline": 0.0,
+            "detail": {"error": "device unresponsive (known-answer probe "
+                       "failed for 40 min)"},
+        }))
+        return 1
+
     import fastest_image_pattern_matching_tpu as fipm
 
     scene, templ = _build_src7_like()
@@ -65,6 +77,17 @@ def main():
     # Warmup / compile.
     res = fipm.match(scene, pattern, cfg)
     n_found = len(res)
+    # Semantic validation: the three planted targets must be found with
+    # high scores — guards against mid-wedge garbage buffers.
+    if n_found != 3 or any(r.score < 0.9 for r in res):
+        print(json.dumps({
+            "metric": "src7_flagship_e2e_ms", "value": -1.0, "unit": "ms",
+            "vs_baseline": 0.0,
+            "detail": {"error": "semantic validation failed",
+                       "found": n_found,
+                       "scores": [round(r.score, 3) for r in res]},
+        }))
+        return 1
 
     iters = 5
     t0 = time.perf_counter()
