@@ -57,6 +57,11 @@ class ORBResult:
     src_pts: Optional[np.ndarray] = None  # matched source points [M, 2]
     dst_pts: Optional[np.ndarray] = None  # matched template points [M, 2]
     inlier_mask: Optional[np.ndarray] = None
+    # physics-pixel calibration (ORBFeatureMatcher.cpp:179-180)
+    scale_mm_per_pix: float = 0.0
+    # rotation angle (deg) extracted from the homography's affine part —
+    # an extension; the reference leaves rotationAngle unset (:188)
+    rotation_angle: float = 0.0
 
 
 # FAST-9/16 Bresenham circle offsets (x, y), standard ordering.
@@ -348,7 +353,8 @@ def ransac_homography(src: jnp.ndarray, dst: jnp.ndarray, valid: jnp.ndarray,
 
 
 def orb_match(source: np.ndarray, template: np.ndarray,
-              cfg: Optional[ORBConfig] = None, seed: int = 0) -> ORBResult:
+              cfg: Optional[ORBConfig] = None, seed: int = 0,
+              physics_shift_mm: float = 8.0) -> ORBResult:
     """Full ORB matching pipeline (performORBMatching parity,
     ORBFeatureMatcher.cpp:21-201)."""
     cfg = cfg or ORBConfig()
@@ -385,17 +391,21 @@ def orb_match(source: np.ndarray, template: np.ndarray,
     t_np = np.asarray(t_pts)
     shifts = np.linalg.norm(t_np[mask_np] - s_np[mask_np], axis=1)
     avg_shift = float(shifts.mean())
+    scale_mm = (physics_shift_mm / avg_shift) if avg_shift > 1e-6 else 0.0
+    Hnp = np.asarray(H, np.float64)
+    rot_deg = float(np.degrees(np.arctan2(Hnp[1, 0], Hnp[0, 0])))
 
     # Template corners in the source frame: perspectiveTransform with
     # H^-1 (:340-353).
     h, w = template.shape
     tc = np.array([[0, 0], [w, 0], [w, h], [0, h]], np.float64)
-    Hinv = np.linalg.inv(np.asarray(H, np.float64))
+    Hinv = np.linalg.inv(Hnp)
     ph = np.concatenate([tc, np.ones((4, 1))], axis=1) @ Hinv.T
     corners = ph[:, :2] / ph[:, 2:3]
 
     return ORBResult(
-        is_matched=True, homography=np.asarray(H, np.float64),
+        is_matched=True, homography=Hnp,
         num_inliers=n_inl, num_good_matches=int(np.asarray(good_valid).sum()),
         avg_pixel_shift=avg_shift, corners=corners,
-        src_pts=s_np, dst_pts=t_np, inlier_mask=mask_np)
+        src_pts=s_np, dst_pts=t_np, inlier_mask=mask_np,
+        scale_mm_per_pix=scale_mm, rotation_angle=rot_deg)

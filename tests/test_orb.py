@@ -112,3 +112,31 @@ def test_orb_match_failure_on_unrelated(rng):
     flat = np.full((100, 100), 128, np.uint8)
     res = orb_match(a, flat)
     assert not res.is_matched
+
+
+def test_orb_agrees_with_opencv_pipeline(rng):
+    """Run OpenCV's own ORB+BFMatcher+findHomography on the same pair and
+    compare recovered corner projections — path-level conformance with the
+    reference's exact stack (ORBFeatureMatcher.cpp:43-109)."""
+    base = _textured(rng, 260, 340)
+    template = base[50:210, 70:290].copy()
+
+    ours = orb_match(base, template)
+    assert ours.is_matched
+
+    orb = cv2.ORB_create(500, 1.2, 8, 31, 0, 2, cv2.ORB_HARRIS_SCORE, 31)
+    ks, ds = orb.detectAndCompute(base, None)
+    kt, dt = orb.detectAndCompute(template, None)
+    matches = cv2.BFMatcher(cv2.NORM_HAMMING).match(ds, dt)
+    matches = sorted(matches, key=lambda m: m.distance)[:150]
+    s_pts = np.float32([ks[m.queryIdx].pt for m in matches])
+    t_pts = np.float32([kt[m.trainIdx].pt for m in matches])
+    H_cv, _ = cv2.findHomography(s_pts, t_pts, cv2.RANSAC, 2.0)
+    tc = np.float32([[0, 0], [220, 0], [220, 160], [0, 160]]).reshape(-1, 1, 2)
+    cv_corners = cv2.perspectiveTransform(tc, np.linalg.inv(H_cv)).reshape(-1, 2)
+
+    err = np.linalg.norm(ours.corners - cv_corners, axis=1)
+    assert np.max(err) < 5.0, (ours.corners, cv_corners)
+    # Scale/rotation extraction sanity for the identity-ish transform.
+    assert abs(ours.rotation_angle) < 3.0
+    assert ours.scale_mm_per_pix > 0
