@@ -11,6 +11,13 @@ Usage: timeout 900 python tools/roofline_bench.py
 
 import json
 import sys
+import os as _os
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache")
+                       if "tools" not in __file__ else
+                       _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import time
 
 import numpy as np
