@@ -86,6 +86,8 @@ class MatchConfig:
             raise ValueError(
                 f"min_reduce_area must be in [64, 2048], got {self.min_reduce_area}")
         if self.tolerance_ranges is not None:
+            object.__setattr__(self, "tolerance_ranges",
+                               tuple(self.tolerance_ranges))
             t1, t2, t3, t4 = self.tolerance_ranges
             # Reference requires left < right per range (MatchToolDlg.cpp:807-810).
             if t1 >= t2 or t3 >= t4:
