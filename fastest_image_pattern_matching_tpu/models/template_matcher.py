@@ -523,6 +523,35 @@ class TemplateMatcher:
             raise RuntimeError("learn_pattern must be called first")
         return match(src, self.pattern, self.config)
 
+    # --- parameter setters mirroring include/TemplateMatcher.h:16-51 ---
+    def _set(self, **kw) -> None:
+        self.config = dataclasses.replace(self.config, **kw)
+
+    def set_max_positions(self, n: int) -> None:
+        self._set(max_pos=n)
+
+    def set_max_overlap(self, v: float) -> None:
+        self._set(max_overlap=v)
+
+    def set_score(self, v: float) -> None:
+        self._set(score=v)
+
+    def set_tolerance_angle(self, v: float) -> None:
+        self._set(tolerance_angle=v)
+
+    def set_min_reduce_area(self, v: int) -> None:
+        # Changing the pyramid depth invalidates the learned pattern, like
+        # re-learning after a parameter change in the reference UI.
+        self._set(min_reduce_area=v)
+        self.pattern = None
+
+    def set_sub_pixel(self, enabled: bool) -> None:
+        self._set(use_subpixel=enabled)
+
+    def set_tolerance_ranges(self, t1: float, t2: float, t3: float,
+                             t4: float) -> None:
+        self._set(tolerance_ranges=(t1, t2, t3, t4))
+
 
 def match_arrays(src: np.ndarray, pattern: LearnedPattern,
                  cfg: MatchConfig) -> Dict[str, np.ndarray]:

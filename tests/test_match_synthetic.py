@@ -154,3 +154,26 @@ def test_no_match_below_score(template):
     cfg = MatchConfig(max_pos=3, score=0.9, tolerance_angle=0.0)
     res = match(scene, pat, cfg)
     assert res == []
+
+
+def test_template_matcher_setters(template):
+    """Qt TemplateMatcher setter-surface parity (TemplateMatcher.h:16-51)."""
+    from fastest_image_pattern_matching_tpu import TemplateMatcher
+    m = TemplateMatcher()
+    m.set_max_positions(4)
+    m.set_score(0.6)
+    m.set_tolerance_angle(0.0)
+    m.set_max_overlap(0.3)
+    m.set_sub_pixel(False)
+    assert m.config.max_pos == 4 and m.config.score == 0.6
+    m.learn_pattern(template)
+    rng = np.random.default_rng(12)
+    scene = rng.integers(0, 30, size=(200, 300), dtype=np.uint8)
+    h, w = template.shape
+    scene[40:40 + h, 90:90 + w] = template
+    res = m.match(scene)
+    assert len(res) == 1 and res[0].score > 0.9
+    m.set_min_reduce_area(1024)
+    assert m.pattern is None  # must re-learn
+    with pytest.raises(ValueError):
+        m.set_score(2.0)
