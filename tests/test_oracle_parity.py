@@ -1,0 +1,76 @@
+"""End-to-end cross-validation against the cv2-based reference oracle
+(tests/oracle_reference.py): the TPU pipeline and a direct OpenCV
+implementation of the reference algorithm must agree on real and
+synthetic scenes."""
+
+import cv2
+import numpy as np
+import pytest
+
+from fastest_image_pattern_matching_tpu import MatchConfig, learn_pattern, match
+from tests.oracle_reference import oracle_match
+
+
+def _compare(res, oracle, score_tol=0.01, ang_tol=0.7, pos_tol=1.5):
+    assert len(res) == len(oracle), (
+        [(r.score, r.angle) for r in res],
+        [(o.score, o.angle) for o in oracle])
+    # Both sorted by score; order may swap for near-ties — match greedily.
+    used = set()
+    for r in res:
+        best, bd = None, 1e9
+        for i, o in enumerate(oracle):
+            if i in used:
+                continue
+            d = np.hypot(r.pos_x - o.x, r.pos_y - o.y)
+            if d < bd:
+                bd, best = d, i
+        assert best is not None and bd < pos_tol, (r, oracle)
+        used.add(best)
+        o = oracle[best]
+        assert abs(r.score - o.score) < score_tol, (r.score, o.score)
+        da = (r.angle - o.angle + 180) % 360 - 180
+        assert abs(da) < ang_tol, (r.angle, o.angle)
+
+
+def test_oracle_parity_synthetic_rotated(rng):
+    from tests.test_match_synthetic import _make_template, _paste_rotated
+    t = _make_template(np.random.default_rng(7))
+    scene = rng.integers(0, 30, size=(420, 520), dtype=np.uint8)
+    for (cx, cy, a) in [(140.0, 120.0, 25.0), (360.0, 150.0, -110.0),
+                        (240.0, 320.0, 170.0)]:
+        _paste_rotated(scene, t, cx, cy, a)
+    kw = dict(max_pos=3, score=0.5, tolerance_angle=180.0, max_overlap=0.1,
+              min_reduce_area=256)
+    res = match(scene, learn_pattern(t, 256), MatchConfig(**kw))
+    oracle = oracle_match(scene, t, **kw)
+    _compare(res, oracle)
+
+
+def test_oracle_parity_real_pair():
+    import os
+    TI = "/root/reference/Test Images"
+    if not os.path.exists(f"{TI}/Src4.bmp"):
+        pytest.skip("assets unavailable")
+    from fastest_image_pattern_matching_tpu.utils.imageio import load_gray
+    src = load_gray(f"{TI}/Src4.bmp")
+    tpl = load_gray(f"{TI}/Dst4.bmp")
+    kw = dict(max_pos=5, score=0.8, tolerance_angle=180.0, max_overlap=0.1,
+              min_reduce_area=256)
+    res = match(src, learn_pattern(tpl, 256), MatchConfig(**kw))
+    oracle = oracle_match(src, tpl, **kw)
+    _compare(res, oracle, score_tol=0.02, ang_tol=1.0, pos_tol=2.0)
+
+
+def test_oracle_parity_no_rotation(rng):
+    from tests.test_match_synthetic import _make_template
+    t = _make_template(np.random.default_rng(7))
+    scene = rng.integers(0, 30, size=(300, 400), dtype=np.uint8)
+    h, w = t.shape
+    for (y, x) in [(30, 40), (180, 250), (60, 280)]:
+        scene[y:y + h, x:x + w] = t
+    kw = dict(max_pos=5, score=0.8, tolerance_angle=0.0, max_overlap=0.2,
+              min_reduce_area=256)
+    res = match(scene, learn_pattern(t, 256), MatchConfig(**kw))
+    oracle = oracle_match(scene, t, **kw)
+    _compare(res, oracle, score_tol=0.005, ang_tol=0.1, pos_tol=1.0)
