@@ -177,3 +177,38 @@ def test_template_matcher_setters(template):
     assert m.pattern is None  # must re-learn
     with pytest.raises(ValueError):
         m.set_score(2.0)
+
+
+def test_tiny_template_fast_mode(rng):
+    """top_layer == stop_layer == 1: descent skipped entirely, results
+    scaled straight from the top sweep (Match() :949-953)."""
+    t = np.full((20, 24), 30, np.uint8)
+    cv2.rectangle(t, (2, 2), (21, 17), 220, 2)
+    cv2.line(t, (4, 4), (20, 16), 255, 2)
+    scene = rng.integers(0, 30, size=(200, 260), dtype=np.uint8)
+    scene[50:70, 80:104] = t
+    scene[120:140, 180:204] = t
+    pat = learn_pattern(t, 256)
+    assert pat.top_layer == 1
+    cfg = MatchConfig(max_pos=4, score=0.5, tolerance_angle=0.0,
+                      fast_mode=True, min_reduce_area=256)
+    res = match(scene, pat, cfg)
+    assert len(res) == 2
+    xs = sorted(round(r.center[0]) for r in res)
+    assert abs(xs[0] - 91) <= 3 and abs(xs[1] - 191) <= 3
+
+
+def test_tiny_template_no_pyramid(rng):
+    """Template below min_reduce_area: top_layer == 0, single-level match
+    (the plain-NCC config 1 regime inside the full driver)."""
+    t = np.full((14, 16), 30, np.uint8)
+    cv2.rectangle(t, (1, 1), (14, 12), 220, 2)
+    scene = rng.integers(0, 30, size=(120, 150), dtype=np.uint8)
+    scene[40:54, 60:76] = t
+    pat = learn_pattern(t, 256)
+    assert pat.top_layer == 0
+    cfg = MatchConfig(max_pos=3, score=0.6, tolerance_angle=0.0)
+    res = match(scene, pat, cfg)
+    assert len(res) == 1
+    assert abs(res[0].center[0] - 67.5) < 1.0
+    assert abs(res[0].center[1] - 46.5) < 1.0
