@@ -37,8 +37,10 @@ from ..ops.warp import (make_rotation_invmaps, rotate_pt_jnp,
 
 DBL_EPSILON = 2.220446049250313e-16
 
-# HBM budget per chunked stage, in f32 elements (~64 MB).
-_CHUNK_BUDGET_ELEMS = 16 * 1024 * 1024
+# HBM budget per chunked stage, in f32 elements (~512 MB live per stage —
+# the v5e has 16 GB; bigger chunks amortize per-step kernel overheads in
+# the chunked lax.map pipelines).
+_CHUNK_BUDGET_ELEMS = 128 * 1024 * 1024
 
 
 def learn_pattern(templ: np.ndarray, min_reduce_area: int = 256) -> LearnedPattern:
