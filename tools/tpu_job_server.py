@@ -1,0 +1,88 @@
+"""Long-lived TPU job server.
+
+The tunnelled terminal charges each new process a long device-claim
+penalty; this server claims once and then executes submitted job files
+in-process, indefinitely.
+
+Protocol: drop `NNN_name.py` files into /tmp/tpu_jobs/ — each is executed
+(exec) in a fresh namespace with helpers {jax, jnp, np, log} provided;
+stdout goes to `NNN_name.out`, and `NNN_name.done` (or .err) marks
+completion. Jobs run in submission order. A file named STOP shuts the
+server down.
+
+Usage: nohup python tools/tpu_job_server.py > /tmp/tpu_server.log 2>&1 &
+"""
+
+import os
+import sys
+import time
+import traceback
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+sys.path.insert(0, "/root/repo")
+os.chdir("/root/repo")
+
+JOBS = "/tmp/tpu_jobs"
+os.makedirs(JOBS, exist_ok=True)
+
+
+def main():
+    print(f"[{time.strftime('%H:%M:%S')}] server: importing jax + claiming "
+          "device (may take a long time)...", flush=True)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    t0 = time.time()
+    v = float((jnp.arange(1024, dtype=jnp.float32) * 2).sum())
+    assert abs(v - 1047552.0) < 1, v
+    print(f"[{time.strftime('%H:%M:%S')}] server: device claimed+verified "
+          f"({time.time()-t0:.1f}s); polling {JOBS}", flush=True)
+
+    seen = set()
+    while True:
+        if os.path.exists(os.path.join(JOBS, "STOP")):
+            print("server: STOP", flush=True)
+            return
+        jobs = sorted(f for f in os.listdir(JOBS)
+                      if f.endswith(".py") and f not in seen)
+        if not jobs:
+            time.sleep(2.0)
+            continue
+        for j in jobs:
+            seen.add(j)
+            path = os.path.join(JOBS, j)
+            out_path = path[:-3] + ".out"
+            print(f"[{time.strftime('%H:%M:%S')}] server: running {j}",
+                  flush=True)
+            import io
+            import contextlib
+            buf = io.StringIO()
+
+            def log(m):
+                line = f"[{time.strftime('%H:%M:%S')}] {m}"
+                buf.write(line + "\n")
+                print(line, flush=True)
+                with open(out_path, "w") as f:
+                    f.write(buf.getvalue())
+
+            ns = {"jax": jax, "jnp": jnp, "np": np, "log": log,
+                  "__name__": "__tpu_job__"}
+            try:
+                with contextlib.redirect_stdout(buf):
+                    exec(compile(open(path).read(), path, "exec"), ns)
+                with open(out_path, "w") as f:
+                    f.write(buf.getvalue())
+                open(path[:-3] + ".done", "w").write("ok")
+            except Exception:
+                buf.write(traceback.format_exc())
+                with open(out_path, "w") as f:
+                    f.write(buf.getvalue())
+                open(path[:-3] + ".err", "w").write("err")
+            print(f"[{time.strftime('%H:%M:%S')}] server: finished {j}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
