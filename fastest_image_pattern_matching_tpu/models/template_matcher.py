@@ -469,28 +469,44 @@ def build_stages(plan: _Plan, stats):
     return st
 
 
-def _build_match_fn(plan: _Plan, stats):
-    """Build the jitted end-to-end match program for a static plan."""
-    return jax.jit(build_stages(plan, stats).match_fn)
+def _stats_key(stats):
+    """Only the flat-template flags are compile-time; numeric stats are
+    traced so same-shape templates (e.g. glyph sets) share one program
+    (at most two variants per shape, one per border color)."""
+    return tuple(bool(s[3]) for s in stats)
+
+
+def _traced_stats_tuple(stats):
+    return tuple((jnp.float32(s[0]), jnp.float32(s[1]), jnp.float32(s[2]),
+                  s[3]) for s in stats)
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled(plan: _Plan, stats):
-    return _build_match_fn(plan, stats)
+def _compiled(plan: _Plan, equal1_key):
+    def fn(src, templs, tstats, inv_mats, trans, valid_wh, angles_arr):
+        stats = tuple((t[0], t[1], t[2], e)
+                      for t, e in zip(tstats, equal1_key))
+        return build_stages(plan, stats).match_fn(
+            src, templs, inv_mats, trans, valid_wh, angles_arr)
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_phase_a(plan: _Plan, stats):
-    return jax.jit(build_stages(plan, stats).phase_a)
+def _compiled_phase_a(plan: _Plan, equal1_key):
+    def fn(src, templs, tstats, inv_mats, trans, valid_wh, angles_arr):
+        stats = tuple((t[0], t[1], t[2], e)
+                      for t, e in zip(tstats, equal1_key))
+        return build_stages(plan, stats).phase_a(
+            src, templs, inv_mats, trans, valid_wh, angles_arr)
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=64)
-def _compiled_phase_b(plan: _Plan, stats, c_compact: int):
-    st = build_stages(plan, stats)
-
-    def fn(state, pyr_low, templs):
-        return st.phase_b(state, pyr_low, templs)
-
+def _compiled_phase_b(plan: _Plan, equal1_key, c_compact: int):
+    def fn(state, pyr_low, templs, tstats):
+        stats = tuple((t[0], t[1], t[2], e)
+                      for t, e in zip(tstats, equal1_key))
+        return build_stages(plan, stats).phase_b(state, pyr_low, templs)
     return jax.jit(fn)
 
 
@@ -503,8 +519,9 @@ def _bucket(n: int, cap: int) -> int:
 
 
 @functools.lru_cache(maxsize=64)
-def _stage_split(plan: _Plan, stats):
-    return build_stages(plan, stats).split
+def _stage_split(plan: _Plan, equal1_key):
+    dummy = tuple((0.0, 1.0, 1.0, e) for e in equal1_key)
+    return build_stages(plan, dummy).split
 
 
 class TemplateMatcher:
@@ -583,10 +600,13 @@ def match_arrays(src: np.ndarray, pattern: LearnedPattern,
     # survivor count on host, then dispatch the expensive low layers with a
     # right-sized (power-of-two bucketed) candidate set. Exactly equivalent
     # to the single program — only already-dead candidates are dropped.
+    tstats = _traced_stats_tuple(stats)
+    ekey = _stats_key(stats)
+    args = args[:2] + (tstats,) + args[2:]
     if cfg.two_phase:
-        st_meta = _stage_split(plan, stats)
+        st_meta = _stage_split(plan, ekey)
         if st_meta is not None:
-            state, pyr_low = _compiled_phase_a(plan, stats)(*args)
+            state, pyr_low = _compiled_phase_a(plan, ekey)(*args)
             alive = np.asarray(state[3])
             score_h = np.asarray(state[2])
             n_alive = int(alive.sum())
@@ -603,11 +623,12 @@ def match_arrays(src: np.ndarray, pattern: LearnedPattern,
             key = np.where(alive, score_h, -2.0)
             order = np.argsort(-key, kind="stable")[:c2]
             state2 = tuple(np.asarray(x)[order] for x in state)
-            out = _compiled_phase_b(plan, stats, c2)(
-                tuple(jnp.asarray(x) for x in state2), pyr_low, templs)
+            out = _compiled_phase_b(plan, ekey, c2)(
+                tuple(jnp.asarray(x) for x in state2), pyr_low, templs,
+                tstats)
             return {k: np.asarray(v) for k, v in out.items()}
 
-    fn = _compiled(plan, stats)
+    fn = _compiled(plan, ekey)
     out = fn(*args)
     return {k: np.asarray(v) for k, v in out.items()}
 
