@@ -157,11 +157,14 @@ def build_stages(plan: _Plan, stats):
 
     src_sizes = geometry.pyramid_sizes(plan.src_hw, top)
     # Warp implementation: FIPM_WARP_IMPL=gather|sliced|pallas overrides.
-    # "gather" is the safe default everywhere ("sliced" OOMs on TPU — the
-    # [N,2] gather-index layout pads 2 -> 128 lanes; "pallas" is the fast
-    # TPU kernel, opt-in until large-grid execution is validated).
+    # Default: the Pallas matmul-interpolation kernel on TPU backends
+    # (validated exact vs the gather path on-chip; ~17x faster on the
+    # refinement warps), XLA gather elsewhere. "sliced" OOMs on TPU (the
+    # [N,2] gather-index layout pads 2 -> 128 lanes).
     import os as _os
-    warp_impl = _os.environ.get("FIPM_WARP_IMPL", "gather")
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    warp_impl = _os.environ.get("FIPM_WARP_IMPL",
+                                "pallas" if on_tpu else "gather")
 
     def sweep_maps(src_top, templ_top, inv_mats, valid_wh):
         """Per-angle score-map peaks for an arbitrary angle subset:
