@@ -484,13 +484,35 @@ def _traced_stats_tuple(stats):
                   s[3]) for s in stats)
 
 
+def _pack_result(out, max_pos):
+    """Pack the result dict into one [max_pos, 13] f32 array (score, angle,
+    center xy, corners 8, valid) — a single host transfer."""
+    return jnp.concatenate([
+        out["score"][:, None], out["angle"][:, None], out["center"],
+        out["corners"].reshape(max_pos, 8),
+        out["valid"].astype(jnp.float32)[:, None]], axis=1)
+
+
+def _unpack_result(packed):
+    packed = np.asarray(packed)
+    mp = packed.shape[0]
+    return {
+        "score": packed[:, 0].astype(np.float32),
+        "angle": packed[:, 1].astype(np.float32),
+        "center": packed[:, 2:4].astype(np.float32),
+        "corners": packed[:, 4:12].reshape(mp, 4, 2).astype(np.float32),
+        "valid": packed[:, 12] > 0.5,
+    }
+
+
 @functools.lru_cache(maxsize=32)
 def _compiled(plan: _Plan, equal1_key):
     def fn(src, templs, tstats, inv_mats, trans, valid_wh, angles_arr):
         stats = tuple((t[0], t[1], t[2], e)
                       for t, e in zip(tstats, equal1_key))
-        return build_stages(plan, stats).match_fn(
+        out = build_stages(plan, stats).match_fn(
             src, templs, inv_mats, trans, valid_wh, angles_arr)
+        return _pack_result(out, plan.cfg.max_pos)
     return jax.jit(fn)
 
 
@@ -499,18 +521,49 @@ def _compiled_phase_a(plan: _Plan, equal1_key):
     def fn(src, templs, tstats, inv_mats, trans, valid_wh, angles_arr):
         stats = tuple((t[0], t[1], t[2], e)
                       for t, e in zip(tstats, equal1_key))
-        return build_stages(plan, stats).phase_a(
-            src, templs, inv_mats, trans, valid_wh, angles_arr)
+        (ptLT, ang, score, alive), pyr_low = build_stages(
+            plan, stats).phase_a(src, templs, inv_mats, trans, valid_wh,
+                                 angles_arr)
+        packed = jnp.concatenate(
+            [ptLT, ang[:, None], score[:, None],
+             alive.astype(jnp.float32)[:, None]], axis=1)  # [C, 5]
+        return packed, pyr_low
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=64)
 def _compiled_phase_b(plan: _Plan, equal1_key, c_compact: int):
-    def fn(state, pyr_low, templs, tstats):
+    def fn(packed, pyr_low, templs, tstats):
         stats = tuple((t[0], t[1], t[2], e)
                       for t, e in zip(tstats, equal1_key))
-        return build_stages(plan, stats).phase_b(state, pyr_low, templs)
+        state = (packed[:, 0:2], packed[:, 2], packed[:, 3],
+                 packed[:, 4] > 0.5)
+        out = build_stages(plan, stats).phase_b(state, pyr_low, templs)
+        return _pack_result(out, plan.cfg.max_pos)
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _plan_device_arrays(plan: _Plan):
+    """Per-plan constant arrays, uploaded once and cached on device."""
+    inv_mats, trans, valid_wh, angles_arr = _top_sweep_arrays(plan)
+    return (jnp.asarray(inv_mats), jnp.asarray(trans),
+            jnp.asarray(valid_wh), jnp.asarray(angles_arr))
+
+
+_PATTERN_DEV_CACHE = {}
+
+
+def _get_pattern_dev(pattern: LearnedPattern):
+    """Device copies of the template pyramid, cached per pattern object."""
+    key = id(pattern)
+    hit = _PATTERN_DEV_CACHE.get(key)
+    if hit is None:
+        hit = tuple(jnp.asarray(lv.templ) for lv in pattern.levels)
+        if len(_PATTERN_DEV_CACHE) > 64:
+            _PATTERN_DEV_CACHE.pop(next(iter(_PATTERN_DEV_CACHE)))
+        _PATTERN_DEV_CACHE[key] = hit
+    return hit
 
 
 def _bucket(n: int, cap: int) -> int:
@@ -595,31 +648,29 @@ def match_arrays(src: np.ndarray, pattern: LearnedPattern,
         raise ValueError("template larger than source")
 
     plan = _make_plan(src.shape, pattern, cfg)
-    inv_mats, trans, valid_wh, angles_arr = _top_sweep_arrays(plan)
     stats = tuple((lv.mean, lv.norm, lv.inv_area, lv.result_equal1)
                   for lv in pattern.levels)
-    templs = tuple(jnp.asarray(lv.templ) for lv in pattern.levels)
+    templs = _get_pattern_dev(pattern)
     src_dev = src if isinstance(src, jnp.ndarray) else jnp.asarray(
         src, jnp.float32)
     if src_dev.dtype != jnp.float32:
         src_dev = src_dev.astype(jnp.float32)
-    args = (src_dev, templs,
-            jnp.asarray(inv_mats), jnp.asarray(trans),
-            jnp.asarray(valid_wh), jnp.asarray(angles_arr))
 
     # Two-phase adaptive compaction: run the cheap upper layers, read the
     # survivor count on host, then dispatch the expensive low layers with a
     # right-sized (power-of-two bucketed) candidate set. Exactly equivalent
     # to the single program — only already-dead candidates are dropped.
+    # Host<->device traffic is packed into single arrays per direction
+    # (the tunnel pays tens of ms per round-trip).
     tstats = _traced_stats_tuple(stats)
     ekey = _stats_key(stats)
-    args = args[:2] + (tstats,) + args[2:]
+    args = (src_dev, templs, tstats) + _plan_device_arrays(plan)
     if cfg.two_phase:
         st_meta = _stage_split(plan, ekey)
         if st_meta is not None:
-            state, pyr_low = _compiled_phase_a(plan, ekey)(*args)
-            alive = np.asarray(state[3])
-            score_h = np.asarray(state[2])
+            packed, pyr_low = _compiled_phase_a(plan, ekey)(*args)
+            ph = np.asarray(packed)  # one transfer: [C, 5]
+            alive = ph[:, 4] > 0.5
             n_alive = int(alive.sum())
             if n_alive == 0:
                 mp = cfg.max_pos
@@ -630,18 +681,15 @@ def match_arrays(src: np.ndarray, pattern: LearnedPattern,
                     "center": np.zeros((mp, 2), np.float32),
                     "valid": np.zeros(mp, bool),
                 }
-            c2 = _bucket(n_alive, alive.shape[0])
-            key = np.where(alive, score_h, -2.0)
+            c2 = _bucket(n_alive, ph.shape[0])
+            key = np.where(alive, ph[:, 3], -2.0)
             order = np.argsort(-key, kind="stable")[:c2]
-            state2 = tuple(np.asarray(x)[order] for x in state)
             out = _compiled_phase_b(plan, ekey, c2)(
-                tuple(jnp.asarray(x) for x in state2), pyr_low, templs,
-                tstats)
-            return {k: np.asarray(v) for k, v in out.items()}
+                jnp.asarray(ph[order]), pyr_low, templs, tstats)
+            return _unpack_result(out)
 
     fn = _compiled(plan, ekey)
-    out = fn(*args)
-    return {k: np.asarray(v) for k, v in out.items()}
+    return _unpack_result(fn(*args))
 
 
 def match(src: np.ndarray, pattern: LearnedPattern,
