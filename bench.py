@@ -61,15 +61,17 @@ def _build_src7_like():
 
 
 def main():
-    from fastest_image_pattern_matching_tpu.utils.health import wait_for_device
-    # The tunnelled TPU terminal can wedge for tens of minutes (and return
-    # garbage buffers mid-wedge); wait for a verified-healthy window first.
-    if not wait_for_device(max_wait_s=2400.0):
+    # In-process known-answer probe: blocks until the (possibly wedged)
+    # terminal serves us, then validates the VALUE — mid-wedge buffers can
+    # come back zero-filled. A subprocess probe would claim/release the
+    # device and poison this process's own claim, so probe inline.
+    import jax.numpy as jnp
+    v = float((jnp.arange(1024, dtype=jnp.float32) * 2).sum())
+    if abs(v - 1047552.0) > 1.0:
         print(json.dumps({
             "metric": "src7_flagship_e2e_ms", "value": -1.0, "unit": "ms",
             "vs_baseline": 0.0,
-            "detail": {"error": "device unresponsive (known-answer probe "
-                       "failed for 40 min)"},
+            "detail": {"error": f"device returned garbage ({v})"},
         }))
         return 1
 

@@ -37,8 +37,11 @@ def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     """
     h, w = img.shape
     x = _reflect101_pad2(img.astype(jnp.float32))
-    lhs = x[jnp.newaxis, jnp.newaxis]  # NCHW
-    rhs = jnp.asarray(_KERNEL_2D)[jnp.newaxis, jnp.newaxis]  # OIHW
+    # bf16 conv is exact here: u8 pixel values and the integer kernel taps
+    # are both bf16-representable; products (<= 255*16) and the f32-
+    # accumulated 2D sum (<= 65280 < 2^24) stay exact.
+    lhs = x.astype(jnp.bfloat16)[jnp.newaxis, jnp.newaxis]  # NCHW
+    rhs = jnp.asarray(_KERNEL_2D, jnp.bfloat16)[jnp.newaxis, jnp.newaxis]
     out = jax.lax.conv_general_dilated(
         lhs, rhs, window_strides=(2, 2), padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
