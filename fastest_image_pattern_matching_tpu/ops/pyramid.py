@@ -36,20 +36,21 @@ def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     u8 results (validated in tests/test_pyramid.py).
     """
     h, w = img.shape
+    oh, ow = (h + 1) // 2, (w + 1) // 2
     x = _reflect101_pad2(img.astype(jnp.float32))
-    # bf16 conv is exact here: u8 pixel values and the integer kernel taps
-    # are both bf16-representable; products (<= 255*16) and the f32-
-    # accumulated 2D sum (<= 65280 < 2^24) stay exact.
-    lhs = x.astype(jnp.bfloat16)[jnp.newaxis, jnp.newaxis]  # NCHW
-    rhs = jnp.asarray(_KERNEL_2D, jnp.bfloat16)[jnp.newaxis, jnp.newaxis]
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(2, 2), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-    )[0, 0]
+    # A single-channel 5x5 conv is MXU-hostile (K=25, C=1); the strided
+    # 5-tap stencil is instead 25 shifted-slice multiply-adds on the VPU —
+    # exact integer arithmetic in f32 (sums <= 65280 < 2^24).
+    out = jnp.zeros((oh, ow), jnp.float32)
+    for i in range(5):
+        for j in range(5):
+            wgt = float(_KERNEL_2D[i, j])
+            sl = jax.lax.slice(x, (i, j), (i + 2 * oh - 1, j + 2 * ow - 1),
+                               (2, 2))
+            out = out + wgt * sl
     # Fixed-point cast: (sum + 128) >> 8 on the integer sum.
     out = jnp.floor((out + 128.0) / 256.0)
-    return out[: (h + 1) // 2, : (w + 1) // 2]
+    return out
 
 
 def build_pyramid(img: jnp.ndarray, levels: int) -> List[jnp.ndarray]:
