@@ -55,7 +55,10 @@ def build_sharded_match(plan: _Plan, stats, mesh: Mesh):
             vals, locs = st.sweep_maps(pyr[top], templs[top], inv_l, valid_l)
             return vals, locs, pyr
 
-        vals, locs, pyr = jax.vmap(one_image_sweep)(srcs_l)
+        # lax.map (not vmap): the Pallas warp kernel takes its source as a
+        # whole-array HBM operand, which cannot carry a vmap batch dim;
+        # map keeps per-image bodies unbatched (images per device are few).
+        vals, locs, pyr = jax.lax.map(one_image_sweep, srcs_l)
         # Merge peak lists across the angle axis (ICI all_gather; axis 1 is
         # the angle dim of [Bl, a_local, K]).
         vals_g = jax.lax.all_gather(vals, ANGLE_AXIS, axis=1, tiled=True)
@@ -68,7 +71,8 @@ def build_sharded_match(plan: _Plan, stats, mesh: Mesh):
                                                  score, alive)
             return st.finalize(fpt, fang, score, alive)
 
-        return jax.vmap(one_image_rest)(vals_g, locs_g, pyr)
+        return jax.lax.map(lambda t: one_image_rest(*t),
+                           (vals_g, locs_g, pyr))
 
     fn = jax.shard_map(
         per_device, mesh=mesh,
