@@ -56,29 +56,40 @@ def main():
             out_path = path[:-3] + ".out"
             print(f"[{time.strftime('%H:%M:%S')}] server: running {j}",
                   flush=True)
-            import io
             import contextlib
-            buf = io.StringIO()
+
+            class _Tee:
+                """Line-buffered tee to the .out file — long jobs stream
+                their progress instead of dumping output at the end."""
+                def __init__(self, f):
+                    self.f = f
+
+                def write(self, s):
+                    self.f.write(s)
+                    self.f.flush()
+                    return len(s)
+
+                def flush(self):
+                    self.f.flush()
+
+            outf = open(out_path, "w")
+            tee = _Tee(outf)
 
             def log(m):
                 line = f"[{time.strftime('%H:%M:%S')}] {m}"
-                buf.write(line + "\n")
+                tee.write(line + "\n")
                 print(line, flush=True)
-                with open(out_path, "w") as f:
-                    f.write(buf.getvalue())
 
             ns = {"jax": jax, "jnp": jnp, "np": np, "log": log,
                   "__name__": "__tpu_job__"}
             try:
-                with contextlib.redirect_stdout(buf):
+                with contextlib.redirect_stdout(tee):
                     exec(compile(open(path).read(), path, "exec"), ns)
-                with open(out_path, "w") as f:
-                    f.write(buf.getvalue())
+                outf.close()
                 open(path[:-3] + ".done", "w").write("ok")
             except Exception:
-                buf.write(traceback.format_exc())
-                with open(out_path, "w") as f:
-                    f.write(buf.getvalue())
+                tee.write(traceback.format_exc())
+                outf.close()
                 open(path[:-3] + ".err", "w").write("err")
             print(f"[{time.strftime('%H:%M:%S')}] server: finished {j}",
                   flush=True)
