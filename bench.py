@@ -104,13 +104,26 @@ def main():
         }))
         return 1
 
+    # Vary inputs per iteration by an integer additive offset: NCC is
+    # invariant to additive constants (numerator/denominator both
+    # mean-subtract), so results are unchanged while every iteration is a
+    # genuinely distinct execution (the tunnel can serve repeated identical
+    # executions from a cache).
     iters = 7
     times = []
-    for _ in range(iters):
+    for i in range(1, iters + 1):
         t0 = time.perf_counter()
-        fipm.match(scene_dev, pattern, cfg)
+        ri = fipm.match(scene_dev + np.float32(i), pattern, cfg)
         times.append((time.perf_counter() - t0) * 1000.0)
     ms = sorted(times)[iters // 2]
+    if len(ri) != n_found:
+        print(json.dumps({
+            "metric": "src7_flagship_e2e_ms", "value": -1.0, "unit": "ms",
+            "vs_baseline": 0.0,
+            "detail": {"error": "timed-iteration results diverged",
+                       "found": len(ri)},
+        }))
+        return 1
 
     print(json.dumps({
         "metric": "src7_flagship_e2e_ms",

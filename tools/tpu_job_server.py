@@ -87,7 +87,7 @@ def main():
                     exec(compile(open(path).read(), path, "exec"), ns)
                 outf.close()
                 open(path[:-3] + ".done", "w").write("ok")
-            except Exception:
+            except BaseException:  # incl. SystemExit from jobs' sys.exit()
                 tee.write(traceback.format_exc())
                 outf.close()
                 open(path[:-3] + ".err", "w").write("err")
