@@ -226,7 +226,8 @@ def build_stages(plan: _Plan, stats):
         return pt, ang, top_vals, alive
 
     def descend_layer(l, src_l, templ_l, ptLT, ang, score, alive):
-        """One pyramid-descent step for all candidates (chunked)."""
+        """One pyramid-descent step for all candidates (chunked, with
+        alive-masked chunk skipping — the caller sorts alive-first)."""
         stats_l = stats[l]
         Cl = ptLT.shape[0]
         sh_l, sw_l = src_sizes[l]
@@ -308,7 +309,14 @@ def build_stages(plan: _Plan, stats):
                     patch.reshape(cc, k_ang, 3, 3))
 
         chunk = max(1, _CHUNK_BUDGET_ELEMS // (roi_hw[0] * roi_hw[1] * k_ang * 8))
-        v, xy, border, patch = chunked_map(cand_chunk, (ptLT2, angs), Cl, chunk)
+        if th_l * tw_l > 4096:
+            # Expensive layer: small chunks so skipped (all-dead) chunks
+            # save real work — the single-program analogue of the old
+            # two-phase host-side bucket compaction, but exact and with no
+            # mid-match round-trip.
+            chunk = min(chunk, 8)
+        v, xy, border, patch = chunked_map(cand_chunk, (ptLT2, angs), Cl,
+                                           chunk, pred=alive)
 
         imax = jnp.argmax(v, axis=1)  # strict-greater first-wins, like :993
         ar = jnp.arange(Cl)
@@ -340,11 +348,19 @@ def build_stages(plan: _Plan, stats):
     def descend_range(pyr, templs, ptLT, ang, score, alive, l_from, l_to):
         """Pyramid descent over layers l_from..l_to (inclusive, downward)."""
         for l in range(l_from, l_to - 1, -1):
+            th_l, tw_l = plan.templ_shapes[l]
+            # Alive-first stable sort (exact — only reorders; finalize
+            # re-sorts by score) so the chunk-skip in descend_layer pays
+            # for ceil(n_alive/chunk) chunks only.
+            if th_l * tw_l > 4096 and ptLT.shape[0] > 8:
+                key = alive.astype(jnp.float32) * 4.0 + score
+                order = jnp.argsort(-key, stable=True)
+                ptLT, ang, score, alive = (ptLT[order], ang[order],
+                                           score[order], alive[order])
             # TPU divergence knob: below large layers, narrow the static
             # candidate set to the top scorers (the reference refines every
             # candidate; with the generous bound this only drops candidates
             # that cannot reach the top max_pos).
-            th_l, tw_l = plan.templ_shapes[l]
             if cfg.narrow_candidates and th_l * tw_l > 4096:
                 cl = min(ptLT.shape[0], max(2 * cfg.max_pos + 4, 16))
                 if cl < ptLT.shape[0]:

@@ -44,6 +44,12 @@ TW = 128    # output tile lanes
 # for DMA slicing of tiled memrefs).
 WIN_H = 152
 WIN_W = 384  # multiple of 128 (lane-dim slice alignment)
+# Selection width after the dynamic lane roll: the DMA must start on a
+# 128-lane boundary, but the interpolation matmuls need only the ~141-lane
+# rotated-tile bbox. Rolling the fetched window left by the alignment
+# remainder and slicing to SEL_W cuts the matmul contraction dim from
+# WIN_W=384 to 160 (2.4x less MXU work per output).
+SEL_W = 160
 PAD = 288   # host-side border padding (>= WIN, multiple of 8)
 
 
@@ -65,12 +71,21 @@ def warp_affine_pallas(
     n_tj = pl.cdiv(Wo, TW)
 
     padded = jnp.pad(src, PAD, constant_values=jnp.float32(border_value))
+    # Round the padded width up to a 128-lane multiple: with Wp % 128 == 0
+    # the clipped-and-floored DMA origin stays within WIN_W - SEL_W lanes
+    # of the desired origin, so the post-roll SEL_W slice never wraps.
+    extra = (-padded.shape[1]) % 128
+    if extra:
+        padded = jnp.pad(padded, ((0, 0), (0, extra)),
+                         constant_values=jnp.float32(border_value))
+    Hp, Wp = padded.shape
 
     params = jnp.concatenate([
         inv_mats[:, 0, :], inv_mats[:, 1, :],
-        jnp.broadcast_to(jnp.array([[float(H), float(W)]], jnp.float32),
-                         (B, 2)),
-    ], axis=1)  # [B, 8]
+        jnp.broadcast_to(jnp.array([[float(H), float(W),
+                                     float(Hp), float(Wp)]], jnp.float32),
+                         (B, 4)),
+    ], axis=1)  # [B, 10]
 
     out = pl.pallas_call(
         _warp_kernel_body,
@@ -104,6 +119,8 @@ def _warp_kernel_body(inv_ref, src_hbm, out_ref, win_ref, sem):
     ty = inv_ref[bi, 5]
     H = inv_ref[bi, 6]
     W = inv_ref[bi, 7]
+    Hp = inv_ref[bi, 8].astype(jnp.int32)
+    Wp = inv_ref[bi, 9].astype(jnp.int32)
 
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -128,10 +145,12 @@ def _warp_kernel_body(inv_ref, src_hbm, out_ref, win_ref, sem):
                          jnp.minimum(cs[2][1], cs[3][1]))
     wx0 = jnp.floor(min_fx).astype(jnp.int32) - 1
     wy0 = jnp.floor(min_fy).astype(jnp.int32) - 1
-    Wp = W.astype(jnp.int32) + 2 * PAD
-    Hp = H.astype(jnp.int32) + 2 * PAD
-    # Align the window origin (8 sublanes / 128 lanes) for DMA slicing.
-    ox = jnp.clip(wx0 + PAD, 0, Wp - WIN_W) // 128 * 128
+    # Desired (unaligned) lane origin; the DMA origin ox is its 128-aligned
+    # clipped floor. Wp % 128 == 0 (host pads), so even at the right edge
+    # d = ux - ox <= WIN_W - SEL_W and the post-roll [0, SEL_W) slice never
+    # wraps (tile taps live in [ux, ux + SEL_W) by construction).
+    ux = jnp.clip(wx0 + PAD, 0, Wp - SEL_W)
+    ox = jnp.clip(ux, 0, Wp - WIN_W) // 128 * 128
     oy = jnp.clip(wy0 + PAD, 0, Hp - WIN_H) // 8 * 8
 
     dma = pltpu.make_async_copy(
@@ -148,10 +167,10 @@ def _warp_kernel_body(inv_ref, src_hbm, out_ref, win_ref, sem):
     y0f = jnp.floor(fy)
     ax = fx - x0f
     ay = fy - y0f
-    xr = x0f - (ox - PAD).astype(jnp.float32)   # in [0, WIN-2]
+    xr = x0f - (ux - PAD).astype(jnp.float32)   # in [0, SEL_W - 2]
     yr = y0f - (oy - PAD).astype(jnp.float32)
 
-    iota_x = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, TH * TW), 0).astype(
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (SEL_W, TH * TW), 0).astype(
         jnp.float32)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (WIN_H, TH * TW), 0).astype(
         jnp.float32)
@@ -166,7 +185,11 @@ def _warp_kernel_body(inv_ref, src_hbm, out_ref, win_ref, sem):
     wy1 = jnp.where(iota_y == yr + 1.0, 1.0, 0.0)
 
     dma.wait()
-    win_bf = win_ref[:].astype(jnp.bfloat16)
+    # Normalize the lane origin: roll the alignment remainder away and keep
+    # only the SEL_W lanes the tile can touch.
+    d = ux - ox
+    win = pltpu.roll(win_ref[:], shift=jnp.mod(WIN_W - d, WIN_W), axis=1)
+    win_bf = win[:, :SEL_W].astype(jnp.bfloat16)
     dn = (((1,), (0,)), ((), ()))
     c0 = jax.lax.dot_general(win_bf, sel0, dn,
                              preferred_element_type=jnp.float32)

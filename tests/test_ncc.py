@@ -116,3 +116,26 @@ def test_ncc_int8_matches_opencv(rng):
         jnp.asarray(src, jnp.float32)[None], jnp.asarray(templ, jnp.float32),
         mean, norm, inv_area, False, "int8", method="conv"))[0]
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_ncc_shiftmm_matches_conv(rng):
+    """Shifted-template matmul backend == conv backend (the descent
+    refinement regime: small search window over a big template)."""
+    H, W, h, w = 78, 109, 71, 102  # 8x8 output, area > 4096
+    src = rng.integers(0, 256, size=(2, H, W), dtype=np.uint8)
+    templ = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    mean, norm, inv_area = _stats(templ)
+    a = np.asarray(ncc_score_map(
+        jnp.asarray(src, jnp.float32), jnp.asarray(templ, jnp.float32),
+        mean, norm, inv_area, False, "bf16", method="shiftmm"))
+    b = np.asarray(ncc_score_map(
+        jnp.asarray(src, jnp.float32), jnp.asarray(templ, jnp.float32),
+        mean, norm, inv_area, False, "bf16", method="conv"))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    ref = cv2.matchTemplate(src[0], templ, cv2.TM_CCOEFF_NORMED)
+    np.testing.assert_allclose(a[0], ref, atol=2e-3)
+    # auto must route this regime to shiftmm-compatible results
+    c = np.asarray(ncc_score_map(
+        jnp.asarray(src, jnp.float32), jnp.asarray(templ, jnp.float32),
+        mean, norm, inv_area, False, "bf16", method="auto"))
+    np.testing.assert_allclose(c, a, atol=1e-6)

@@ -3,14 +3,22 @@ reference's published i7-10700 numbers (README.md:59-71; BASELINE.md).
 
 Test -> image mapping recovered from the README's Result-image links
 (Test1->Result8.jpg, Test4->Result3.jpg, Test5->Result4.jpg,
-Test6->Result6.jpg, Test7->Result9.jpg) and confirmed by screenshot aspect
-ratios: Test1=Src8/Dst8, Test4=Src3/Dst3, Test5=Src4/Dst4, Test6=Src6/Dst6,
-Test7=Src9/Dst9. Src1/2/5/7/10 are stripped blobs (.MISSING_LARGE_BLOBS) so
-Test2/Test3 and the Src7 flagship run on synthetic stand-ins (bench.py
-reconstructs Src7 at exact shapes; Test2/3 are skipped here).
+Test6->Result6.jpg, Test7->Result9.jpg) and confirmed by inspecting the
+screenshots against the surviving sources:
+  Result8 = Src9 scene (e-clips + star washers, 4 matches) -> Test1=Src9/Dst9
+  Result3 = Src3 scene (SMD LED strip, 36 matches)         -> Test4=Src3/Dst3
+  Result4 = Src4 scene (bearing, ~24 rotated targets)      -> Test5=Src4/Dst4
+  Result6 = Src6 scene (metal parts grid, 15 matches)      -> Test6=Src6/Dst6
+  Result9 = Src10 scene (~100 round washers)               -> Test7=Src10/Dst10
+Src1/2/5/7/10 are stripped blobs (.MISSING_LARGE_BLOBS): Test2/Test3 are
+skipped (their scenes are unavailable), the Src7 flagship runs in bench.py
+on an exact-shape synthetic reconstruction, and Test7 runs here on a
+synthetic 3648x3648 scene with 100 planted real-Dst10 instances (the
+BlockMax many-target regime, BASELINE config 4).
 
-Parameters are the README's where stated; Test5 has none published and is
-run with Test4's (table carry-over), noted in the output.
+Parameters are the README's where stated. Test5 has none published; the
+Result4 screenshot shows rotated matches, so tolerance 180 with Test4's
+other parameters is assumed (noted in the output).
 
 Timing protocol (axon tunnel): inputs varied per iteration by an integer
 additive offset — NCC is invariant to additive constants (numerator and
@@ -32,25 +40,51 @@ sys.path.insert(0, "/root/repo")
 
 TESTS = [
     # name, src, dst, cfg-kwargs, reference ms (plain, simd)
-    ("Test1", "Src8.bmp", "Dst8.bmp",
-     dict(max_pos=5, max_overlap=0.8, score=0.8, tolerance_angle=180.0),
-     (164.0, 80.0), ""),
+    ("Test1", "Src9.bmp", "Dst9.bmp",
+     dict(max_pos=5, max_overlap=0.8, score=0.7, tolerance_angle=180.0),
+     (164.0, 80.0), "caption says Score=0.8 but its own screenshot shows 4 "
+     "matches at 0.70-0.76 (and the cv2 oracle agrees) -> UI-default 0.7"),
     ("Test4", "Src3.bmp", "Dst3.bmp",
      dict(max_pos=38, score=0.8, tolerance_angle=0.0, min_reduce_area=256),
      (21.0, None), ""),
     ("Test5", "Src4.bmp", "Dst4.bmp",
-     dict(max_pos=38, score=0.8, tolerance_angle=0.0, min_reduce_area=256),
-     (27.0, None), "params unpublished; Test4's assumed"),
+     dict(max_pos=38, score=0.8, tolerance_angle=180.0, min_reduce_area=256),
+     (27.0, None), "params unpublished; tol=180 (Result4 shows rotations)"),
     ("Test6", "Src6.jpg", "Dst6.bmp",
      dict(max_pos=15, score=0.8, tolerance_angle=180.0, min_reduce_area=256),
      (1157.0, 657.0), ""),
-    ("Test7", "Src9.bmp", "Dst9.bmp",
+    ("Test7", "@synthetic_src10", "Dst10.jpg",
      dict(max_pos=100, score=0.5, tolerance_angle=0.0, max_overlap=0.5,
           min_reduce_area=1024),
-     (18.0, None), ""),
+     (18.0, None), "Src10 stripped; synthetic 3648x3648 scene, "
+     "100 planted real-Dst10 instances"),
 ]
 
 IMG_DIR = "/root/reference/Test Images"
+
+
+def _synthetic_src10(tpl):
+    """3648x3648 scene with 100 planted Dst10 instances on a bright
+    background (Result9.jpg regime: round washers on white)."""
+    rng = np.random.default_rng(7)
+    H = W = 3648
+    scene = np.full((H, W), 235, np.uint8)
+    scene = (scene - rng.integers(0, 12, (H, W), dtype=np.uint8))
+    th, tw = tpl.shape
+    n = 0
+    attempts = 0
+    placed = []
+    while n < 100 and attempts < 10000:
+        attempts += 1
+        y = int(rng.integers(40, H - th - 40))
+        x = int(rng.integers(40, W - tw - 40))
+        if any(abs(y - py) < th + 6 and abs(x - px) < tw + 6
+               for py, px in placed):
+            continue
+        scene[y:y + th, x:x + tw] = tpl
+        placed.append((y, x))
+        n += 1
+    return scene
 
 
 def run_suite(iters=5, log=print):
@@ -60,8 +94,11 @@ def run_suite(iters=5, log=print):
 
     rows = []
     for name, s, d, kw, (ref_ms, ref_simd_ms), note in TESTS:
-        src = cv2.imread(f"{IMG_DIR}/{s}", cv2.IMREAD_GRAYSCALE)
         tpl = cv2.imread(f"{IMG_DIR}/{d}", cv2.IMREAD_GRAYSCALE)
+        if s == "@synthetic_src10":
+            src = _synthetic_src10(tpl) if tpl is not None else None
+        else:
+            src = cv2.imread(f"{IMG_DIR}/{s}", cv2.IMREAD_GRAYSCALE)
         if src is None or tpl is None:
             log(f"{name}: SKIP (missing {s}/{d})")
             continue
