@@ -48,8 +48,12 @@ class MatchConfig:
     # --- TPU-native knobs (not in reference) ---
     # Max refinement candidates carried through the pyramid descent. The
     # reference refines every top-layer candidate (MatchToolDlg.cpp:939);
-    # we keep the best `max_candidates` by top-layer score (sorted, like
-    # the reference sorts at :890). None = auto: 4*max_pos+16, padded.
+    # None = the same: keep all n_angles*(max_pos+5) extracted peaks
+    # (bounded at 2048 for pathological tiny-template/max_pos=200 sweeps).
+    # Alive-masked chunk-skipping keeps dead candidates nearly free, so
+    # this only costs where candidates genuinely survive. Set a number to
+    # trade recall parity for speed (keeps the top scorers, sorted like
+    # the reference sorts at :890).
     max_candidates: Optional[int] = None
     # Correlation compute dtype on the MXU: "bf16" (default; u8-centered
     # inputs are exact in bf16, f32 accumulation), "f32", or "int8".
@@ -101,6 +105,6 @@ class MatchConfig:
     def effective_max_candidates(self) -> int:
         if self.max_candidates is not None:
             return self.max_candidates
-        c = 4 * self.max_pos + 16
-        # Round up to a multiple of 8 for friendlier batching.
-        return (c + 7) // 8 * 8
+        # No cap (reference refines every candidate); 2048 bounds the
+        # NMS pair matrix in pathological many-angle/many-target configs.
+        return 2048

@@ -37,6 +37,22 @@ from ..ops.warp import (make_rotation_invmaps, rotate_pt_jnp,
 
 DBL_EPSILON = 2.220446049250313e-16
 
+
+def _descend_chunk(roi_hw, templ_px: int, k_ang: int) -> int:
+    """Candidate-chunk size for one descent layer. Small chunks on
+    expensive layers make alive-masked chunk-skipping (the single-program
+    analogue of host-side bucket compaction) save real work; cheap layers
+    use bigger chunks to amortize per-step lax.map overhead. With the
+    uncapped candidate set (reference parity: every top-layer peak is
+    refined) most candidates are dead within a layer or two, so skipped
+    chunks dominate."""
+    chunk = max(1, _CHUNK_BUDGET_ELEMS // (roi_hw[0] * roi_hw[1] * k_ang * 8))
+    if templ_px > 4096:
+        return min(chunk, 8)
+    if templ_px > 1024:
+        return min(chunk, 32)
+    return min(chunk, 64)
+
 # HBM budget per chunked stage, in f32 elements (~512 MB live per stage —
 # the v5e has 16 GB; bigger chunks amortize per-step kernel overheads in
 # the chunked lax.map pipelines).
@@ -308,13 +324,7 @@ def build_stages(plan: _Plan, stats):
                     border.reshape(cc, k_ang),
                     patch.reshape(cc, k_ang, 3, 3))
 
-        chunk = max(1, _CHUNK_BUDGET_ELEMS // (roi_hw[0] * roi_hw[1] * k_ang * 8))
-        if th_l * tw_l > 4096:
-            # Expensive layer: small chunks so skipped (all-dead) chunks
-            # save real work — the single-program analogue of the old
-            # two-phase host-side bucket compaction, but exact and with no
-            # mid-match round-trip.
-            chunk = min(chunk, 8)
+        chunk = _descend_chunk(roi_hw, th_l * tw_l, k_ang)
         v, xy, border, patch = chunked_map(cand_chunk, (ptLT2, angs), Cl,
                                            chunk, pred=alive)
 
@@ -349,10 +359,11 @@ def build_stages(plan: _Plan, stats):
         """Pyramid descent over layers l_from..l_to (inclusive, downward)."""
         for l in range(l_from, l_to - 1, -1):
             th_l, tw_l = plan.templ_shapes[l]
+            roi_hw_l = (th_l + 6, tw_l + 6)
             # Alive-first stable sort (exact — only reorders; finalize
             # re-sorts by score) so the chunk-skip in descend_layer pays
             # for ceil(n_alive/chunk) chunks only.
-            if th_l * tw_l > 4096 and ptLT.shape[0] > 8:
+            if ptLT.shape[0] > _descend_chunk(roi_hw_l, th_l * tw_l, k_ang):
                 key = alive.astype(jnp.float32) * 4.0 + score
                 order = jnp.argsort(-key, stable=True)
                 ptLT, ang, score, alive = (ptLT[order], ang[order],
@@ -477,6 +488,8 @@ def build_stages(plan: _Plan, stats):
 
     st = _Stages()
     st.plan = plan
+    st.descend_layer = descend_layer
+    st.descend_range = descend_range
     st.sweep_maps = sweep_maps
     st.select_candidates = select_candidates
     st.descend = descend

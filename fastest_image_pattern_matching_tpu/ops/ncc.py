@@ -106,6 +106,52 @@ def ccorr_shiftmm(
     return out.reshape(B, Ho, Wo)
 
 
+def ccorr_banded(
+    canvases_c: jnp.ndarray,   # [B, H, W] f32, centered
+    templ_c: jnp.ndarray,      # [h, w] f32, centered
+    compute_dtype: str = "bf16",
+) -> jnp.ndarray:
+    """Centered cross-correlation for SMALL templates over LARGE maps as a
+    scan of banded (Toeplitz) MXU matmuls — the regime where XLA lowers a
+    single-input-channel conv catastrophically (measured 4.8 GMAC/s for a
+    [1, 1824, 1824] x [27, 27] conv vs ~34 TMAC/s for this form; the
+    reference hits the same regime in its BlockMax many-target tests,
+    README.md:23-29).
+
+    corr = sum_dy  canvas[dy:dy+Ho, :] @ Band_dy,  Band_dy[x, v] = T[dy, x-v]
+    Band matrices are built once per (template, shape) by a one-hot
+    contraction (exact); bf16 on u8-centered values with f32 accumulation
+    is exact (see module doc). Band memory: h*W*Wo*2 bytes — the caller
+    gates eligibility.
+    """
+    B, H, W = canvases_c.shape
+    h, w = templ_c.shape
+    Ho, Wo = H - h + 1, W - w + 1
+    dt = jnp.bfloat16 if compute_dtype in ("bf16", "int8") else jnp.float32
+    x_i = jax.lax.broadcasted_iota(jnp.int32, (W, Wo), 0)
+    v_i = jax.lax.broadcasted_iota(jnp.int32, (W, Wo), 1)
+    diff = x_i - v_i
+    onehot = jnp.stack([(diff == j) for j in range(w)]).astype(dt)
+    band = jnp.einsum("dj,jXV->dXV", templ_c.astype(dt), onehot,
+                      preferred_element_type=jnp.float32).astype(dt)
+    cb = canvases_c.astype(dt)
+
+    def step(acc, dy):
+        xs = jax.lax.dynamic_slice_in_dim(cb, dy, Ho, axis=1)  # [B, Ho, W]
+        bd = jax.lax.dynamic_index_in_dim(band, dy, 0, keepdims=False)
+        return acc + jax.lax.dot_general(
+            xs, bd, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32), 0.0
+
+    acc0 = jnp.zeros((B, Ho, Wo), jnp.float32)
+    out, _ = jax.lax.scan(step, acc0, jnp.arange(h))
+    return out
+
+
+# Band-matrix HBM budget for ccorr_banded eligibility (h*W*Wo bf16 elems).
+_BANDED_BUDGET_ELEMS = 512 * 1024 * 1024
+
+
 def ccorr_fft(
     canvases_c: jnp.ndarray,   # [B, H, W] f32, centered
     templ_c: jnp.ndarray,      # [h, w] f32, centered
@@ -157,19 +203,30 @@ def ncc_score_map(
 
     if method == "auto":
         import math as _math
-        if (H - h + 1) * (W - w + 1) <= 512 and h * w > 4096:
+        Ho, Wo = H - h + 1, W - w + 1
+        if Ho * Wo <= 512 and h * w > 4096:
             # Small search window over a big template (the pyramid-descent
             # refinement regime): shifted-template matmul.
             method = "shiftmm"
         else:
             # MXU MACs are ~2 orders cheaper than FFT butterflies on TPU.
-            conv_cost = (H - h + 1) * (W - w + 1) * h * w
+            conv_cost = Ho * Wo * h * w
             fft_cost = 4000.0 * H * W * _math.log2(max(H * W, 2))
-            method = "fft" if conv_cost > fft_cost else "conv"
+            banded_cost = float(h) * Ho * W * Wo  # full-MXU-rate MACs
+            banded_ok = h * W * Wo <= _BANDED_BUDGET_ELEMS
+            if Ho * Wo > 65536 and banded_ok and banded_cost < fft_cost:
+                # Big score map: XLA's single-channel conv is hopeless
+                # (~5 GMAC/s measured); the banded-matmul form is exact
+                # and runs at MXU rate.
+                method = "banded"
+            else:
+                method = "fft" if conv_cost > fft_cost else "conv"
     if method == "fft":
         ccorr_c = ccorr_fft(sc, tc)
     elif method == "shiftmm":
         ccorr_c = ccorr_shiftmm(sc, tc, compute_dtype)
+    elif method == "banded":
+        ccorr_c = ccorr_banded(sc, tc, compute_dtype)
     else:
         ccorr_c = ccorr_conv(sc, tc, compute_dtype)
     s1c = window_sums(sc, (h, w))

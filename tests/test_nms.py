@@ -68,3 +68,37 @@ def test_filter_overlaps_respects_valid_mask():
     keep = np.asarray(filter_overlaps(
         quads, jnp.asarray(np.array([False, True])), 200.0, 0.25))
     assert keep.tolist() == [False, True]
+
+
+def test_filter_overlaps_matches_sequential_greedy(rng):
+    # The round-based while_loop must reproduce the reference's sequential
+    # greedy (FilterWithRotatedRect, MatchToolDlg.cpp:1498-1557) on dense
+    # random conflict patterns, including kill-chains (A kills B, so B
+    # cannot kill C).
+    for trial in range(6):
+        r = np.random.default_rng(100 + trial)
+        C = 40
+        pts = r.uniform(0, 60, (C, 2)).astype(np.float32)  # dense overlaps
+        angs = r.uniform(-180, 180, C).astype(np.float32)
+        valid = r.random(C) > 0.2
+        w, h = 20.0, 12.0
+        quads = rotated_rect_corners(jnp.asarray(pts), jnp.asarray(angs), w, h)
+        got = np.asarray(filter_overlaps(
+            quads, jnp.asarray(valid), w * h, 0.25))
+
+        # Sequential greedy oracle in numpy on the same pair areas.
+        qn = np.asarray(quads)
+        pair = np.zeros((C, C))
+        for i in range(C):
+            for j in range(C):
+                pair[i, j] = float(quad_intersection_area(
+                    jnp.asarray(qn[i]), jnp.asarray(qn[j])))
+        conflict = (pair >= w * h * (1 - 1e-6)) | (pair / (w * h) > 0.25)
+        alive = valid.copy()
+        for i in range(C):
+            if not alive[i]:
+                continue
+            for j in range(i + 1, C):
+                if alive[j] and conflict[i, j]:
+                    alive[j] = False
+        assert got.tolist() == alive.tolist(), trial

@@ -74,3 +74,27 @@ def test_oracle_parity_no_rotation(rng):
     res = match(scene, learn_pattern(t, 256), MatchConfig(**kw))
     oracle = oracle_match(scene, t, **kw)
     _compare(res, oracle, score_tol=0.005, ang_tol=0.1, pos_tol=1.0)
+
+
+def test_oracle_parity_test1_src9_recall():
+    """Test1 (README.md:65): Src9/Dst9, maxPos 5, overlap 0.8, score 0.7,
+    tol 180. Regression for the candidate-cap recall bug: two true matches
+    (scores ~0.764) rank below 40th among top-layer candidates and were
+    dropped by the old 4*max_pos+16 default cap. The uncapped default must
+    find all 4, matching the oracle (oracle_match on this pair:
+    scores [0.9986, 0.764, 0.7639, 0.7032] — precomputed, the oracle run
+    itself takes ~60 s)."""
+    import os
+    TI = "/root/reference/Test Images"
+    if not os.path.exists(f"{TI}/Src9.bmp"):
+        pytest.skip("assets unavailable")
+    from fastest_image_pattern_matching_tpu.utils.imageio import load_gray
+    src = load_gray(f"{TI}/Src9.bmp")
+    tpl = load_gray(f"{TI}/Dst9.bmp")
+    cfg = MatchConfig(max_pos=5, max_overlap=0.8, score=0.7,
+                      tolerance_angle=180.0)
+    res = match(src, learn_pattern(tpl, cfg.min_reduce_area), cfg)
+    got = sorted((round(r.score, 3) for r in res), reverse=True)
+    assert len(res) == 4, got
+    want = [0.999, 0.764, 0.764, 0.703]
+    assert all(abs(g - w) < 0.01 for g, w in zip(got, want)), got

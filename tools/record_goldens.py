@@ -45,6 +45,13 @@ CASES = [
     ("src9_fastmode", f"{TI}/Src9.bmp", f"{TI}/Dst9.bmp",
      dict(max_pos=5, score=0.5, tolerance_angle=180.0, max_overlap=0.2,
           min_reduce_area=256, fast_mode=True)),
+    ("src8_dualrange", f"{TI}/Src8.bmp", f"{TI}/Dst8.bmp",
+     dict(max_pos=3, score=0.5, tolerance_ranges=(-30.0, -5.0, 10.0, 40.0),
+          max_overlap=0.2, min_reduce_area=256)),
+    # README Test1 parameters (the candidate-cap recall regression case:
+    # must find 4 matches, two of them scoring ~0.764).
+    ("src9_test1", f"{TI}/Src9.bmp", f"{TI}/Dst9.bmp",
+     dict(max_pos=5, max_overlap=0.8, score=0.7, tolerance_angle=180.0)),
 ]
 
 
