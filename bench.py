@@ -13,13 +13,18 @@ vs_baseline = reference_ms / our_ms  (>1 means faster than reference).
 import json
 import sys
 import os as _os
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                       _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache")
-                       if "tools" not in __file__ else
-                       _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"))
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import time
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache. sitecustomize pre-imports jax, so env
+    vars are too late — jax.config.update works post-import."""
+    import jax
+    cache = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                          ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 
@@ -61,6 +66,7 @@ def _build_src7_like():
 
 
 def main():
+    _enable_compile_cache()
     # In-process known-answer probe: blocks until the (possibly wedged)
     # terminal serves us, then validates the VALUE — mid-wedge buffers can
     # come back zero-filled. A subprocess probe would claim/release the

@@ -12,12 +12,13 @@ correlation, vmapped warps, on-device reductions, mesh sharding.
 from .config import MatchConfig
 from .types import LearnedPattern, MatchResult
 from .models.template_matcher import (TemplateMatcher, learn_pattern, match,
-                                      match_arrays, match_template)
+                                      match_arrays, match_candidates,
+                                      match_template)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "MatchConfig", "LearnedPattern", "MatchResult",
     "TemplateMatcher", "learn_pattern", "match", "match_arrays",
-    "match_template",
+    "match_candidates", "match_template",
 ]

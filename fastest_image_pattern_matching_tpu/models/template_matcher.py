@@ -59,14 +59,43 @@ def _descend_chunk(roi_hw, templ_px: int, k_ang: int) -> int:
 _CHUNK_BUDGET_ELEMS = 128 * 1024 * 1024
 
 
-def learn_pattern(templ: np.ndarray, min_reduce_area: int = 256) -> LearnedPattern:
+def learn_pattern(templ: np.ndarray, min_reduce_area: int = 256,
+                  roi: Optional[Tuple[int, int, int, int]] = None,
+                  regions=None) -> LearnedPattern:
     """Build the template pyramid + per-level stats (LearnPattern,
     MatchToolDlg.cpp:453-491). Stats in float64 on host, pyramid via the
-    same device pyr_down used for the source (bit-identical levels)."""
+    same device pyr_down used for the source (bit-identical levels).
+
+    roi: optional (x, y, w, h) sub-rectangle of `templ` to learn from (the
+    UI's user-rect capability, src/MatchToolDialog.cpp:1087-1123). Match
+    coordinates then refer to the ROI rectangle, not the full image.
+
+    regions: optional iterable of [N, 2] polygon point arrays in `templ`
+    image coordinates (the UI's polygon marking,
+    src/MatchToolDialog.cpp:962-1030). Stored on the pattern (shifted into
+    ROI coordinates when roi is given) and projected into every match's
+    source frame by match() via MatchResult.project_points."""
     templ = np.asarray(templ)
     if templ.ndim == 3:
         templ = templ[..., 0]
     templ = templ.astype(np.float32)
+    if roi is not None:
+        x, y, w, h = (int(v) for v in roi)
+        if not (0 <= x and 0 <= y and w > 0 and h > 0
+                and x + w <= templ.shape[1] and y + h <= templ.shape[0]):
+            raise ValueError(f"roi {roi} out of bounds for template "
+                             f"{templ.shape}")
+        templ = templ[y:y + h, x:x + w]
+        roi = (x, y, w, h)
+    region_arrs = []
+    for reg in (regions or ()):
+        pts = np.asarray(reg, np.float32).reshape(-1, 2)
+        if pts.shape[0] < 3:
+            raise ValueError("each region needs >= 3 points "
+                             "(finishPolygonSelection requires 3)")
+        if roi is not None:
+            pts = pts - np.array([roi[0], roi[1]], np.float32)
+        region_arrs.append(pts)
 
     top = geometry.top_layer(templ.shape, min_reduce_area)
     pyr = [np.asarray(p) for p in build_pyramid(jnp.asarray(templ), top)]
@@ -83,7 +112,8 @@ def learn_pattern(templ: np.ndarray, min_reduce_area: int = 256) -> LearnedPatte
                                 inv_area=inv_area, result_equal1=equal1))
     border_color = 255 if float(np.mean(pyr[0], dtype=np.float64)) < 128 else 0
     return LearnedPattern(levels=levels, border_color=border_color,
-                          min_reduce_area=min_reduce_area)
+                          min_reduce_area=min_reduce_area, roi=roi,
+                          regions=tuple(region_arrs))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -355,6 +385,21 @@ def build_stages(plan: _Plan, stats):
                                jnp.float32)
         return rotate_pt_jnp(pt, center_top, -ang * D2R)
 
+    def debug_candidates(src, templs, inv_mats, trans, valid_wh, angles_arr):
+        """Top-layer candidate dump (the m_bDebugMode analogue,
+        MatchToolDlg.cpp:897-931): every extracted+thresholded sweep peak
+        as [C, 5] = (x, y at level-0 scale, angle deg, score, alive)."""
+        if cfg.bitwise_not:
+            src = 255.0 - src
+        pyr = build_pyramid(src, top)
+        vals, locs = sweep_maps(pyr[top], templs[top], inv_mats, valid_wh)
+        pt, ang, score, alive = select_candidates(vals, locs, trans,
+                                                  angles_arr)
+        ptLT = unrotate(pt, ang) * (2.0 ** top)
+        return jnp.concatenate(
+            [ptLT, ang[:, None], score[:, None],
+             alive.astype(jnp.float32)[:, None]], axis=1)
+
     def descend_range(pyr, templs, ptLT, ang, score, alive, l_from, l_to):
         """Pyramid descent over layers l_from..l_to (inclusive, downward)."""
         for l in range(l_from, l_to - 1, -1):
@@ -492,9 +537,11 @@ def build_stages(plan: _Plan, stats):
     st.descend_range = descend_range
     st.sweep_maps = sweep_maps
     st.select_candidates = select_candidates
+    st.unrotate = unrotate
     st.descend = descend
     st.finalize = finalize
     st.match_fn = match_fn
+    st.debug_candidates = debug_candidates
     st.split = split
     st.phase_a = phase_a
     st.phase_b = phase_b
@@ -569,6 +616,16 @@ def _compiled_phase_b(plan: _Plan, equal1_key, c_compact: int):
                  packed[:, 4] > 0.5)
         out = build_stages(plan, stats).phase_b(state, pyr_low, templs)
         return _pack_result(out, plan.cfg.max_pos)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=8)
+def _compiled_debug(plan: _Plan, equal1_key):
+    def fn(src, templs, tstats, inv_mats, trans, valid_wh, angles_arr):
+        stats = tuple((t[0], t[1], t[2], e)
+                      for t, e in zip(tstats, equal1_key))
+        return build_stages(plan, stats).debug_candidates(
+            src, templs, inv_mats, trans, valid_wh, angles_arr)
     return jax.jit(fn)
 
 
@@ -657,10 +714,8 @@ class TemplateMatcher:
         self._set(tolerance_ranges=(t1, t2, t3, t4))
 
 
-def match_arrays(src: np.ndarray, pattern: LearnedPattern,
-                 cfg: MatchConfig) -> Dict[str, np.ndarray]:
-    """Run the compiled pipeline; returns fixed-size result arrays
-    (score/angle/corners/center [max_pos], valid mask)."""
+def _prepare(src, pattern: LearnedPattern, cfg: MatchConfig):
+    """Shared input prep: guards, plan, stats, device arrays."""
     # Device-resident sources (jax arrays) are used as-is — the serving
     # path uploads once and matches many times (HBM-resident input is the
     # analogue of the reference's image-in-RAM timing).
@@ -684,6 +739,33 @@ def match_arrays(src: np.ndarray, pattern: LearnedPattern,
         src, jnp.float32)
     if src_dev.dtype != jnp.float32:
         src_dev = src_dev.astype(jnp.float32)
+    tstats = _traced_stats_tuple(stats)
+    ekey = _stats_key(stats)
+    args = (src_dev, templs, tstats) + _plan_device_arrays(plan)
+    return plan, ekey, args
+
+
+def match_candidates(src: np.ndarray, pattern: LearnedPattern,
+                     cfg: Optional[MatchConfig] = None) -> Dict[str, np.ndarray]:
+    """Debug candidate dump — every thresholded top-layer sweep peak before
+    refinement, the analogue of the reference's m_bDebugMode candidate
+    overlay (MatchToolDlg.cpp:897-931). Returns dict of [C] arrays:
+    x, y (LT corner at level-0 scale, top-layer frame), angle (deg, sweep
+    convention), score (top-layer NCC), alive (above layer threshold)."""
+    cfg = cfg or MatchConfig()
+    plan, ekey, args = _prepare(src, pattern, cfg)
+    packed = np.asarray(_compiled_debug(plan, ekey)(*args))
+    return {
+        "x": packed[:, 0], "y": packed[:, 1], "angle": packed[:, 2],
+        "score": packed[:, 3], "alive": packed[:, 4] > 0.5,
+    }
+
+
+def match_arrays(src: np.ndarray, pattern: LearnedPattern,
+                 cfg: MatchConfig) -> Dict[str, np.ndarray]:
+    """Run the compiled pipeline; returns fixed-size result arrays
+    (score/angle/corners/center [max_pos], valid mask)."""
+    plan, ekey, args = _prepare(src, pattern, cfg)
 
     # Two-phase adaptive compaction: run the cheap upper layers, read the
     # survivor count on host, then dispatch the expensive low layers with a
@@ -691,9 +773,7 @@ def match_arrays(src: np.ndarray, pattern: LearnedPattern,
     # to the single program — only already-dead candidates are dropped.
     # Host<->device traffic is packed into single arrays per direction
     # (the tunnel pays tens of ms per round-trip).
-    tstats = _traced_stats_tuple(stats)
-    ekey = _stats_key(stats)
-    args = (src_dev, templs, tstats) + _plan_device_arrays(plan)
+    templs, tstats = args[1], args[2]
     if cfg.two_phase:
         st_meta = _stage_split(plan, ekey)
         if st_meta is not None:
@@ -732,11 +812,17 @@ def match(src: np.ndarray, pattern: LearnedPattern,
         if not out["valid"][i]:
             continue
         c = out["corners"][i]
-        results.append(MatchResult(
+        r = MatchResult(
             score=float(out["score"][i]), angle=float(out["angle"][i]),
             center=tuple(out["center"][i].tolist()),
             lt=tuple(c[0].tolist()), rt=tuple(c[1].tolist()),
-            rb=tuple(c[2].tolist()), lb=tuple(c[3].tolist())))
+            rb=tuple(c[2].tolist()), lb=tuple(c[3].tolist()))
+        if pattern.regions:
+            # Marked regions projected into this match's source frame
+            # (drawUserPolygonOnResults, src/MatchToolDialog.cpp:1444-1478).
+            r.regions = tuple(r.project_points(reg)
+                              for reg in pattern.regions)
+        results.append(r)
     return results
 
 

@@ -119,10 +119,10 @@ def ccorr_banded(
     README.md:23-29).
 
     corr = sum_dy  canvas[dy:dy+Ho, :] @ Band_dy,  Band_dy[x, v] = T[dy, x-v]
-    Band matrices are built once per (template, shape) by a one-hot
-    contraction (exact); bf16 on u8-centered values with f32 accumulation
-    is exact (see module doc). Band memory: h*W*Wo*2 bytes — the caller
-    gates eligibility.
+    Band matrices are built once per call by diagonal accumulation (exact;
+    the largest transient is one [W, Wo] mask, not a [w, W, Wo] one-hot);
+    bf16 on u8-centered values with f32 accumulation is exact (see module
+    doc). Band memory: h*W*Wo*2 bytes — the caller gates eligibility.
     """
     B, H, W = canvases_c.shape
     h, w = templ_c.shape
@@ -131,9 +131,10 @@ def ccorr_banded(
     x_i = jax.lax.broadcasted_iota(jnp.int32, (W, Wo), 0)
     v_i = jax.lax.broadcasted_iota(jnp.int32, (W, Wo), 1)
     diff = x_i - v_i
-    onehot = jnp.stack([(diff == j) for j in range(w)]).astype(dt)
-    band = jnp.einsum("dj,jXV->dXV", templ_c.astype(dt), onehot,
-                      preferred_element_type=jnp.float32).astype(dt)
+    tc = templ_c.astype(dt)
+    band = jnp.zeros((h, W, Wo), dt)
+    for j in range(w):
+        band = band + tc[:, j][:, None, None] * (diff == j).astype(dt)
     cb = canvases_c.astype(dt)
 
     def step(acc, dy):
@@ -189,8 +190,20 @@ def ncc_score_map(
     flat-template all-ones shortcut (MatchToolDlg.cpp:1331-1335) and the
     epsilon/1.125 guards (:1384-1395).
 
-    method: "conv" (MXU), "fft", or "auto" (fft when the implicit-matmul
-    cost dwarfs the transform cost — large template x large search area).
+    method:
+      "conv"    — lax.conv on the MXU (general default).
+      "shiftmm" — one dense matmul against all Ho*Wo shifted template
+                  copies; the pyramid-descent refinement regime (tiny
+                  output grid over a big template), where XLA's conv
+                  lowering idles 127/128 of the MXU.
+      "banded"  — scan of banded-Toeplitz matmuls; the many-target regime
+                  (small template over a huge map), where XLA's
+                  single-channel conv lowering runs ~5 GMAC/s.
+      "fft"     — frequency-domain correlation (large template x large
+                  search area; not bit-exact, ~1e-7 relative).
+      "auto"    — shiftmm when Ho*Wo<=512 and h*w>4096; else banded when
+                  the map is big (Ho*Wo>65536) and the band fits; else
+                  fft/conv by operation-count estimate.
     """
     h, w = templ.shape
     B, H, W = canvases.shape

@@ -6,11 +6,15 @@ intersection polygon (cv::rotatedRectangleIntersection + SortPtWithCenter +
 contourArea) and deletes the lower-scored one when fully contained or when
 intersection_area / template_area > max_overlap.
 
-TPU formulation: all O(C^2) pair intersection areas are computed at once
-with a vmapped fixed-size Sutherland–Hodgman clip (convex quad vs convex
-quad -> at most 8 vertices), then a sequential fori_loop applies the greedy
-suppression order. C is small (<= a few hundred), so this is negligible
-next to the correlation work.
+TPU formulation: pair intersection areas are computed with a vmapped
+fixed-size Sutherland–Hodgman clip (convex quad vs convex quad -> at most
+8 vertices), row-chunked with all-invalid-chunk skipping so cost scales
+with n_valid * C rather than C^2 (the uncapped default carries up to 2048
+candidates, most invalid). The greedy suppression order is then applied by
+a round-based lax.while_loop that decides every candidate whose earlier
+conflicters are all decided — it terminates in the conflict-chain depth
+(2-5 rounds in practice), not C sequential steps, and reproduces
+FilterWithRotatedRect's greedy result exactly.
 """
 
 from __future__ import annotations

@@ -77,8 +77,11 @@ def test_oracle_parity_no_rotation(rng):
 
 
 def test_oracle_parity_test1_src9_recall():
-    """Test1 (README.md:65): Src9/Dst9, maxPos 5, overlap 0.8, score 0.7,
-    tol 180. Regression for the candidate-cap recall bug: two true matches
+    """Test1 parameters (README.md:65 says Score=0.8, but its own Result8
+    screenshot shows 4 matches at 0.70-0.76; score is lowered to 0.7 — the
+    UI default — so the cap-sensitive 0.764 matches survive the final score
+    filter): Src9/Dst9, maxPos 5, overlap 0.8, score 0.7, tol 180.
+    Regression for the candidate-cap recall bug: two true matches
     (scores ~0.764) rank below 40th among top-layer candidates and were
     dropped by the old 4*max_pos+16 default cap. The uncapped default must
     find all 4, matching the oracle (oracle_match on this pair:

@@ -48,8 +48,10 @@ CASES = [
     ("src8_dualrange", f"{TI}/Src8.bmp", f"{TI}/Dst8.bmp",
      dict(max_pos=3, score=0.5, tolerance_ranges=(-30.0, -5.0, 10.0, 40.0),
           max_overlap=0.2, min_reduce_area=256)),
-    # README Test1 parameters (the candidate-cap recall regression case:
-    # must find 4 matches, two of them scoring ~0.764).
+    # README Test1 parameters with score lowered to 0.7 (the README caption
+    # says 0.8 but its own Result8 screenshot shows 4 matches at 0.70-0.76;
+    # 0.7 keeps the cap-sensitive 0.764 matches above the final score
+    # filter — the candidate-cap recall regression case).
     ("src9_test1", f"{TI}/Src9.bmp", f"{TI}/Dst9.bmp",
      dict(max_pos=5, max_overlap=0.8, score=0.7, tolerance_angle=180.0)),
 ]
