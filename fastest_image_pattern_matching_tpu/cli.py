@@ -25,14 +25,19 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     m = sub.add_parser("match", help="find template instances in a source image")
-    m.add_argument("-s", "--source", required=True, help="source image path")
-    m.add_argument("-t", "--template", required=True, help="template image path")
-    m.add_argument("--max-pos", type=int, default=70,
+    # Numeric params default to None so saved settings (the QSettings
+    # analogue, src/MatchToolDialog.cpp:495-561) can fill unspecified ones;
+    # reference UI defaults apply last (ui/MatchToolDialog.ui:103-213).
+    m.add_argument("-s", "--source", default=None, help="source image path "
+                   "(defaults to the last used one from settings)")
+    m.add_argument("-t", "--template", default=None, help="template image "
+                   "path (defaults to the last used one from settings)")
+    m.add_argument("--max-pos", type=int, default=None,
                    help="max targets (1-200)")
-    m.add_argument("--max-overlap", type=float, default=0.1)
-    m.add_argument("--score", type=float, default=0.7)
-    m.add_argument("--tolerance-angle", type=float, default=180.0)
-    m.add_argument("--min-reduce-area", type=int, default=256)
+    m.add_argument("--max-overlap", type=float, default=None)
+    m.add_argument("--score", type=float, default=None)
+    m.add_argument("--tolerance-angle", type=float, default=None)
+    m.add_argument("--min-reduce-area", type=int, default=None)
     m.add_argument("--tolerance-ranges", type=float, nargs=4,
                    metavar=("T1", "T2", "T3", "T4"), default=None,
                    help="dual angle ranges [T1,T2] and [T3,T4]")
@@ -41,11 +46,19 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--fast-mode", action="store_true",
                    help="stop pyramid descent at layer 1")
     m.add_argument("--compute-dtype", choices=["bf16", "f32", "int8"],
-                   default="bf16")
+                   default=None)
+    m.add_argument("--roi", type=int, nargs=4, metavar=("X", "Y", "W", "H"),
+                   default=None, help="learn from this template sub-rect")
+    m.add_argument("--no-settings", action="store_true",
+                   help="ignore and don't update the settings file")
     m.add_argument("--json", action="store_true", help="JSON output")
     m.add_argument("--output-image", help="write annotated overlay image")
     m.add_argument("--output-roi", help="directory to dump matched ROIs")
     m.add_argument("--pattern-out", help="save learned pattern (.npz)")
+
+    st = sub.add_parser("settings", help="show or clear persisted settings "
+                        "(QSettings analogue)")
+    st.add_argument("--clear", action="store_true")
 
     o = sub.add_parser("orb", help="ORB feature matching (secondary path)")
     o.add_argument("-s", "--source", required=True)
@@ -73,23 +86,56 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+_UI_DEFAULTS = dict(max_pos=70, max_overlap=0.1, score=0.7,
+                    tolerance_angle=180.0, min_reduce_area=256,
+                    compute_dtype="bf16")
+
+
 def _cmd_match(args) -> int:
     import numpy as np
     from . import MatchConfig, learn_pattern, match
     from .utils.imageio import load_gray, save_gray
+    from .utils.settings import load_settings, save_settings
 
-    src = load_gray(args.source)
-    tpl = load_gray(args.template)
+    # Parameter precedence: explicit flag > saved settings > UI defaults
+    # (loadSettings, src/MatchToolDialog.cpp:495-527).
+    saved = {} if args.no_settings else load_settings()
+
+    def pick(key):
+        v = getattr(args, key)
+        return v if v is not None else saved.get(key, _UI_DEFAULTS[key])
+
+    source = args.source or saved.get("last_source")
+    template = args.template or saved.get("last_template")
+    if not source or not template:
+        print("error: --source/--template required (no saved last paths)",
+              file=sys.stderr)
+        return 2
+
+    src = load_gray(source)
+    tpl = load_gray(template)
     cfg = MatchConfig(
-        max_pos=args.max_pos, max_overlap=args.max_overlap, score=args.score,
-        tolerance_angle=args.tolerance_angle,
-        min_reduce_area=args.min_reduce_area,
+        max_pos=pick("max_pos"), max_overlap=pick("max_overlap"),
+        score=pick("score"), tolerance_angle=pick("tolerance_angle"),
+        min_reduce_area=pick("min_reduce_area"),
         tolerance_ranges=(tuple(args.tolerance_ranges)
                           if args.tolerance_ranges else None),
         use_subpixel=not args.no_subpixel, bitwise_not=args.bitwise_not,
-        fast_mode=args.fast_mode, compute_dtype=args.compute_dtype)
+        fast_mode=args.fast_mode, compute_dtype=pick("compute_dtype"))
 
-    pattern = learn_pattern(tpl, cfg.min_reduce_area)
+    if not args.no_settings:
+        # Persist params + last paths (saveSettings,
+        # src/MatchToolDialog.cpp:528-561).
+        save_settings(dict(
+            max_pos=cfg.max_pos, max_overlap=cfg.max_overlap,
+            score=cfg.score, tolerance_angle=cfg.tolerance_angle,
+            min_reduce_area=cfg.min_reduce_area,
+            use_subpixel=cfg.use_subpixel, bitwise_not=cfg.bitwise_not,
+            fast_mode=cfg.fast_mode, compute_dtype=cfg.compute_dtype,
+            last_source=source, last_template=template))
+
+    pattern = learn_pattern(tpl, cfg.min_reduce_area,
+                            roi=tuple(args.roi) if args.roi else None)
     if args.pattern_out:
         pattern.save(args.pattern_out)
     t0 = time.perf_counter()
@@ -123,6 +169,11 @@ def _cmd_match(args) -> int:
             cv2.circle(vis, (int(r.pos_x), int(r.pos_y)), 3, (0, 0, 255), -1)
             cv2.putText(vis, str(i), (int(r.lt[0]), int(r.lt[1]) - 4),
                         cv2.FONT_HERSHEY_PLAIN, 1.2, (0, 255, 0), 1)
+            # Marked pattern regions projected onto the match
+            # (drawUserPolygonOnResults, src/MatchToolDialog.cpp:1444-1478).
+            for reg in r.regions:
+                cv2.polylines(vis, [reg.astype(np.int32)], True,
+                              (255, 100, 0), 2)
         cv2.imwrite(args.output_image, vis)
 
     if args.output_roi:
@@ -242,6 +293,16 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     if args.command == "match":
         return _cmd_match(args)
+    if args.command == "settings":
+        from .utils.settings import (clear_settings, load_settings,
+                                     settings_path)
+        if args.clear:
+            clear_settings()
+            print(f"cleared {settings_path()}")
+        else:
+            print(json.dumps({"path": settings_path(),
+                              "settings": load_settings()}, indent=1))
+        return 0
     if args.command == "orb":
         return _cmd_orb(args)
     if args.command == "watch":

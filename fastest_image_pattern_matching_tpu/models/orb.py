@@ -318,38 +318,62 @@ def ransac_homography(src: jnp.ndarray, dst: jnp.ndarray, valid: jnp.ndarray,
     best = jnp.argmax(counts)
     mask = inls[best]
 
-    # Normalized DLT refit on inliers (all M rows, zero-weighted outliers).
-    w = mask.astype(jnp.float32)
-    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    def refit(mask_in):
+        """Normalized DLT on the masked inliers (all M rows,
+        zero-weighted outliers)."""
+        w = mask_in.astype(jnp.float32)
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
 
-    def norm_pts(p):
-        c = jnp.sum(p * w[:, None], axis=0) / wsum
-        d = jnp.sqrt(jnp.sum((p - c) ** 2, axis=1)) * w
-        s = jnp.sqrt(2.0) / jnp.maximum(jnp.sum(d) / wsum, 1e-9)
-        T = jnp.array([[s, 0, -s * c[0]], [0, s, -s * c[1]], [0, 0, 1.0]])
-        return (p - c) * s, T
+        def norm_pts(p):
+            c = jnp.sum(p * w[:, None], axis=0) / wsum
+            d = jnp.sqrt(jnp.sum((p - c) ** 2, axis=1)) * w
+            s = jnp.sqrt(2.0) / jnp.maximum(jnp.sum(d) / wsum, 1e-9)
+            T = jnp.array([[s, 0, -s * c[0]], [0, s, -s * c[1]],
+                           [0, 0, 1.0]])
+            return (p - c) * s, T
 
-    sn, Ts = norm_pts(src)
-    dn, Td = norm_pts(dst)
-    x, y = sn[:, 0], sn[:, 1]
-    u, v = dn[:, 0], dn[:, 1]
-    z = jnp.zeros_like(x)
-    o = jnp.ones_like(x)
-    r1 = jnp.stack([x, y, o, z, z, z, -u * x, -u * y, -u], 1) * w[:, None]
-    r2 = jnp.stack([z, z, z, x, y, o, -v * x, -v * y, -v], 1) * w[:, None]
-    A = jnp.concatenate([r1, r2], axis=0)
-    _, vecs = jnp.linalg.eigh(A.T @ A)
-    h = vecs[:, 0]
-    Hn = h.reshape(3, 3)
-    Hf = jnp.linalg.solve(Td, Hn @ Ts)
-    Hf = Hf / jnp.where(jnp.abs(Hf[2, 2]) > 1e-12, Hf[2, 2], 1e-12)
+        sn, Ts = norm_pts(src)
+        dn, Td = norm_pts(dst)
+        x, y = sn[:, 0], sn[:, 1]
+        u, v = dn[:, 0], dn[:, 1]
+        z = jnp.zeros_like(x)
+        o = jnp.ones_like(x)
+        r1 = jnp.stack([x, y, o, z, z, z, -u * x, -u * y, -u], 1) * w[:, None]
+        r2 = jnp.stack([z, z, z, x, y, o, -v * x, -v * y, -v], 1) * w[:, None]
+        A = jnp.concatenate([r1, r2], axis=0)
+        _, vecs = jnp.linalg.eigh(A.T @ A)
+        Hn = vecs[:, 0].reshape(3, 3)
+        Hf = jnp.linalg.solve(Td, Hn @ Ts)
+        return Hf / jnp.where(jnp.abs(Hf[2, 2]) > 1e-12, Hf[2, 2], 1e-12)
 
-    # Final inlier mask under the refit H.
-    _, mask_f = score(Hf)
-    better = jnp.sum(mask_f) >= jnp.sum(mask)
-    Hout = jnp.where(better, Hf, Hs[best])
-    mask_out = jnp.where(better, mask_f, mask)
-    return Hout, mask_out
+    # Iterated local optimization (LO-RANSAC style) from the top-8
+    # hypotheses (not just the argmax — a skewed max-count hypothesis can
+    # trap the refit in its basin): refit on inliers, recompute inliers,
+    # 3 static rounds each, then pick the best final (count, -error).
+    def sq_err(Hm):
+        proj = _project(Hm, src)
+        return jnp.sum((proj - dst) ** 2, axis=1)
+
+    def lo(h0, mask0):
+        Hb, mb = h0, mask0
+        cur = mask0
+        for _ in range(3):
+            Hf = refit(cur)
+            _, mf = score(Hf)
+            better = jnp.sum(mf) >= jnp.sum(mb)
+            Hb = jnp.where(better, Hf, Hb)
+            mb = jnp.where(better, mf, mb)
+            cur = mf
+        e = sq_err(Hb)
+        err = jnp.sum(jnp.where(mb, e, 0.0))
+        return Hb, mb, jnp.sum(mb), err
+
+    n_lo = min(8, iters)
+    _, top_idx = jax.lax.top_k(counts, n_lo)
+    H_lo, m_lo, c_lo, e_lo = jax.vmap(lo)(Hs[top_idx], inls[top_idx])
+    # Rank: most inliers, then least inlier reprojection error.
+    pick = jnp.argmax(c_lo.astype(jnp.float32) * 1e6 - e_lo)
+    return H_lo[pick], m_lo[pick]
 
 
 def orb_match(source: np.ndarray, template: np.ndarray,

@@ -127,6 +127,7 @@ class _Plan:
     canvas_hw: Tuple[int, int]
     k_peaks: int
     c_max: int
+    nms_cap: int
     k_ang: int
     layer_scores: Tuple[float, ...]
     border_color: int
@@ -154,13 +155,18 @@ def _make_plan(src_hw, pattern: LearnedPattern, cfg: MatchConfig) -> _Plan:
 
     k_peaks = cfg.max_pos + MATCH_CANDIDATE_NUM
     c_max = min(cfg.effective_max_candidates, len(angles) * k_peaks)
+    # NMS column cap: the pair-area matrix covers only the top nms_cap
+    # score-sorted candidates. Exact whenever the number of
+    # above-final-threshold candidates fits (finalize flags an overflow and
+    # match_arrays re-dispatches with the cap lifted — rare).
+    nms_cap = min(c_max, max(4 * cfg.max_pos + 64, 128))
     single_angle = (cfg.tolerance_ranges is None
                     and cfg.tolerance_angle < VISION_TOLERANCE)
     return _Plan(
         src_hw=tuple(src_hw), templ_shapes=shapes, top=top,
         stop=1 if cfg.fast_mode else 0, angles=angles,
         canvas_hw=(canvas_h, canvas_w), k_peaks=k_peaks, c_max=c_max,
-        k_ang=1 if single_angle else 3,
+        nms_cap=nms_cap, k_ang=1 if single_angle else 3,
         layer_scores=tuple(layer_scores), border_color=pattern.border_color,
         cfg=cfg)
 
@@ -456,7 +462,20 @@ def build_stages(plan: _Plan, stats):
         rw = tw0 * (1.0 if stop == 0 else 2.0)
         rh = th0 * (1.0 if stop == 0 else 2.0)
         quads = rotated_rect_corners(pt_s, ang_s, rw, rh)
-        keep = filter_overlaps(quads, ok_s, rw * rh, cfg.max_overlap)
+        # NMS over the top nms_cap candidates only (score-sorted, valid
+        # first). Exact when all valid candidates fit; otherwise the
+        # overflow flag makes match_arrays re-dispatch uncapped.
+        cap = plan.nms_cap
+        C_all = quads.shape[0]
+        if cap < C_all:
+            keep = jnp.concatenate([
+                filter_overlaps(quads[:cap], ok_s[:cap], rw * rh,
+                                cfg.max_overlap),
+                jnp.zeros(C_all - cap, bool)])
+            overflow = jnp.sum(ok_s.astype(jnp.int32)) > cap
+        else:
+            keep = filter_overlaps(quads, ok_s, rw * rh, cfg.max_overlap)
+            overflow = jnp.asarray(False)
 
         svals2 = jnp.where(keep, score_s, jnp.float32(-1.0))
         if svals2.shape[0] < cfg.max_pos:  # narrowed below max_pos
@@ -480,7 +499,7 @@ def build_stages(plan: _Plan, stats):
         out_ang = jnp.where(out_ang < -180.0, out_ang + 360.0, out_ang)
         out_ang = jnp.where(out_ang > 180.0, out_ang - 360.0, out_ang)
         return dict(score=r_score, angle=out_ang, corners=corners,
-                    center=center, valid=r_ok)
+                    center=center, valid=r_ok, nms_overflow=overflow)
 
     def match_fn(src, templs, inv_mats, trans, valid_wh, angles_arr):
         if cfg.bitwise_not:
@@ -561,16 +580,22 @@ def _traced_stats_tuple(stats):
 
 
 def _pack_result(out, max_pos):
-    """Pack the result dict into one [max_pos, 13] f32 array (score, angle,
-    center xy, corners 8, valid) — a single host transfer."""
-    return jnp.concatenate([
+    """Pack the result dict into one [max_pos + 1, 13] f32 array (rows:
+    score, angle, center xy, corners 8, valid; final row carries the NMS
+    overflow flag) — a single host transfer."""
+    rows = jnp.concatenate([
         out["score"][:, None], out["angle"][:, None], out["center"],
         out["corners"].reshape(max_pos, 8),
         out["valid"].astype(jnp.float32)[:, None]], axis=1)
+    flag = jnp.full((1, rows.shape[1]),
+                    out["nms_overflow"].astype(jnp.float32))
+    return jnp.concatenate([rows, flag], axis=0)
 
 
 def _unpack_result(packed):
     packed = np.asarray(packed)
+    flag = packed[-1, 0] > 0.5
+    packed = packed[:-1]
     mp = packed.shape[0]
     return {
         "score": packed[:, 0].astype(np.float32),
@@ -578,6 +603,7 @@ def _unpack_result(packed):
         "center": packed[:, 2:4].astype(np.float32),
         "corners": packed[:, 4:12].reshape(mp, 4, 2).astype(np.float32),
         "valid": packed[:, 12] > 0.5,
+        "nms_overflow": bool(flag),
     }
 
 
@@ -641,15 +667,20 @@ _PATTERN_DEV_CACHE = {}
 
 
 def _get_pattern_dev(pattern: LearnedPattern):
-    """Device copies of the template pyramid, cached per pattern object."""
+    """Device copies of the template pyramid, cached per pattern object.
+
+    The entry holds the pattern itself: an id()-keyed cache without the
+    reference would serve STALE device arrays when a garbage-collected
+    pattern's address is reused by a new one."""
     key = id(pattern)
     hit = _PATTERN_DEV_CACHE.get(key)
-    if hit is None:
-        hit = tuple(jnp.asarray(lv.templ) for lv in pattern.levels)
+    if hit is None or hit[0] is not pattern:
+        arrs = tuple(jnp.asarray(lv.templ) for lv in pattern.levels)
         if len(_PATTERN_DEV_CACHE) > 64:
             _PATTERN_DEV_CACHE.pop(next(iter(_PATTERN_DEV_CACHE)))
-        _PATTERN_DEV_CACHE[key] = hit
-    return hit
+        _PATTERN_DEV_CACHE[key] = (pattern, arrs)
+        return arrs
+    return hit[1]
 
 
 def _bucket(n: int, cap: int) -> int:
@@ -766,7 +797,17 @@ def match_arrays(src: np.ndarray, pattern: LearnedPattern,
     """Run the compiled pipeline; returns fixed-size result arrays
     (score/angle/corners/center [max_pos], valid mask)."""
     plan, ekey, args = _prepare(src, pattern, cfg)
+    out = _dispatch(plan, ekey, args, cfg)
+    if out.pop("nms_overflow", False) and plan.nms_cap < plan.c_max:
+        # More above-threshold candidates than the NMS cap — re-dispatch
+        # with the cap lifted for the exact uncapped greedy result.
+        plan_full = dataclasses.replace(plan, nms_cap=plan.c_max)
+        out = _dispatch(plan_full, ekey, args, cfg)
+        out.pop("nms_overflow", None)
+    return out
 
+
+def _dispatch(plan: _Plan, ekey, args, cfg) -> Dict[str, np.ndarray]:
     # Two-phase adaptive compaction: run the cheap upper layers, read the
     # survivor count on host, then dispatch the expensive low layers with a
     # right-sized (power-of-two bucketed) candidate set. Exactly equivalent
@@ -789,6 +830,7 @@ def match_arrays(src: np.ndarray, pattern: LearnedPattern,
                     "corners": np.zeros((mp, 4, 2), np.float32),
                     "center": np.zeros((mp, 2), np.float32),
                     "valid": np.zeros(mp, bool),
+                    "nms_overflow": False,
                 }
             c2 = _bucket(n_alive, ph.shape[0])
             key = np.where(alive, ph[:, 3], -2.0)

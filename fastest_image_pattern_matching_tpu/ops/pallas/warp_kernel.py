@@ -14,8 +14,14 @@ interpolation as dense ops the TPU is built for:
     3. Y interpolation = masked reduction:  out[n] = sum_y Wy[y, n] C[y, n]
        with the same 2-tap structure along y.
 
-  MXU cost ~ WIN^2 * TH*TW per tile; for the flagship refinement layer
-  that is ~8e11 f32 MACs total (~tens of ms) vs 2.3 s for the gather.
+Exactness-preserving precision scheme (two variants):
+  * "bf16": window values are u8-valued integers (exact in bf16), the
+    selection matrices are 0/1 (exact), so both bf16 matmuls are exact
+    with f32 accumulation; fractional weights applied afterwards in f32.
+  * "int8": window values centered to [-128, 127] (exact in int8),
+    selection 0/1 int8, int32 accumulation, +128 added back after the
+    row-select — also exact, at 2x the MXU rate on v5e (394 int8 TOPS vs
+    197 bf16 TFLOPS).
 
 Border semantics: the caller pre-pads the source with `border_value` by
 PAD=WIN on every side and passes sampling coordinates in the original
@@ -42,26 +48,32 @@ TW = 128    # output tile lanes
 # Source window per tile: must cover the rotated tile bbox (TW + TH + 3 at
 # unit scale) plus origin alignment slack (8 sublanes / 128 lanes, required
 # for DMA slicing of tiled memrefs).
-WIN_H = 152
+WIN_H = 144
 WIN_W = 384  # multiple of 128 (lane-dim slice alignment)
 # Selection width after the dynamic lane roll: the DMA must start on a
-# 128-lane boundary, but the interpolation matmuls need only the ~141-lane
-# rotated-tile bbox. Rolling the fetched window left by the alignment
-# remainder and slicing to SEL_W cuts the matmul contraction dim from
-# WIN_W=384 to 160 (2.4x less MXU work per output).
-SEL_W = 160
+# 128-lane boundary, but the interpolation matmuls need only the rotated-
+# tile bbox: span_x <= ceil(sqrt(127^2 + 7^2)) + 2 taps + 1 floor slack
+# ~ 141 lanes (similarly span_y + 8-row align slack <= 141 rows for WIN_H).
+# Rolling the fetched window left by the alignment remainder and slicing to
+# SEL_W cuts the matmul contraction dim from WIN_W=384 to 144.
+SEL_W = 144
 PAD = 288   # host-side border padding (>= WIN, multiple of 8)
+
+# Matmul precision scheme: "int8" (2x MXU rate, exact — see module doc)
+# with "bf16" fallback (also exact). Overridable for A/B timing.
+MATMUL_DTYPE = "bf16"
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_hw", "quantize", "interpret"))
+    static_argnames=("out_hw", "quantize", "matmul_dtype", "interpret"))
 def warp_affine_pallas(
     src: jnp.ndarray,          # [H, W] f32 (unpadded)
     inv_mats: jnp.ndarray,     # [B, 2, 3] f32
     out_hw: Tuple[int, int],
     border_value: float,
     quantize: bool = True,
+    matmul_dtype: str = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     H, W = src.shape
@@ -69,6 +81,8 @@ def warp_affine_pallas(
     B = inv_mats.shape[0]
     n_ti = pl.cdiv(Ho, TH)
     n_tj = pl.cdiv(Wo, TW)
+    if matmul_dtype is None:
+        matmul_dtype = MATMUL_DTYPE
 
     padded = jnp.pad(src, PAD, constant_values=jnp.float32(border_value))
     # Round the padded width up to a 128-lane multiple: with Wp % 128 == 0
@@ -87,8 +101,9 @@ def warp_affine_pallas(
                          (B, 4)),
     ], axis=1)  # [B, 10]
 
+    body = functools.partial(_warp_kernel_body, matmul_dtype)
     out = pl.pallas_call(
-        _warp_kernel_body,
+        body,
         grid=(B, n_ti, n_tj),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -109,7 +124,7 @@ def warp_affine_pallas(
     return out
 
 
-def _warp_kernel_body(inv_ref, src_hbm, out_ref, win_ref, sem):
+def _warp_kernel_body(matmul_dtype, inv_ref, src_hbm, out_ref, win_ref, sem):
     bi = pl.program_id(0)
     a = inv_ref[bi, 0]
     b = inv_ref[bi, 1]
@@ -174,27 +189,36 @@ def _warp_kernel_body(inv_ref, src_hbm, out_ref, win_ref, sem):
         jnp.float32)
     iota_y = jax.lax.broadcasted_iota(jnp.int32, (WIN_H, TH * TW), 0).astype(
         jnp.float32)
-    # Two-matmul exact-bf16 scheme: the window holds u8-valued integers
-    # (exact in bf16) and the selection matrices are 0/1 (exact), so both
-    # bf16 matmuls are exact with f32 accumulation; the fractional weights
-    # are applied afterwards in f32 on the VPU. ~4x cheaper than one f32
-    # matmul carrying the fractions.
-    sel0 = jnp.where(iota_x == xr, 1.0, 0.0).astype(jnp.bfloat16)
-    sel1 = jnp.where(iota_x == xr + 1.0, 1.0, 0.0).astype(jnp.bfloat16)
     wy0 = jnp.where(iota_y == yr, 1.0, 0.0)
     wy1 = jnp.where(iota_y == yr + 1.0, 1.0, 0.0)
 
     dma.wait()
     # Normalize the lane origin: roll the alignment remainder away and keep
     # only the SEL_W lanes the tile can touch.
-    d = ux - ox
-    win = pltpu.roll(win_ref[:], shift=jnp.mod(WIN_W - d, WIN_W), axis=1)
-    win_bf = win[:, :SEL_W].astype(jnp.bfloat16)
+    dlt = ux - ox
+    win = pltpu.roll(win_ref[:], shift=jnp.mod(WIN_W - dlt, WIN_W), axis=1)
     dn = (((1,), (0,)), ((), ()))
-    c0 = jax.lax.dot_general(win_bf, sel0, dn,
-                             preferred_element_type=jnp.float32)
-    c1 = jax.lax.dot_general(win_bf, sel1, dn,
-                             preferred_element_type=jnp.float32)
+    if matmul_dtype == "int8":
+        # Centered-u8 int8 scheme: window - 128 in [-128, 127] is exact in
+        # int8; selection columns each sum to exactly one (xr, xr+1 always
+        # in range), so adding 128 back after the matmul is exact.
+        sel0 = jnp.where(iota_x == xr, 1, 0).astype(jnp.int8)
+        sel1 = jnp.where(iota_x == xr + 1.0, 1, 0).astype(jnp.int8)
+        win_i8 = (win[:, :SEL_W] - 128.0).astype(jnp.int8)
+        c0 = jax.lax.dot_general(win_i8, sel0, dn,
+                                 preferred_element_type=jnp.int32
+                                 ).astype(jnp.float32) + 128.0
+        c1 = jax.lax.dot_general(win_i8, sel1, dn,
+                                 preferred_element_type=jnp.int32
+                                 ).astype(jnp.float32) + 128.0
+    else:
+        sel0 = jnp.where(iota_x == xr, 1.0, 0.0).astype(jnp.bfloat16)
+        sel1 = jnp.where(iota_x == xr + 1.0, 1.0, 0.0).astype(jnp.bfloat16)
+        win_bf = win[:, :SEL_W].astype(jnp.bfloat16)
+        c0 = jax.lax.dot_general(win_bf, sel0, dn,
+                                 preferred_element_type=jnp.float32)
+        c1 = jax.lax.dot_general(win_bf, sel1, dn,
+                                 preferred_element_type=jnp.float32)
     # cN[y, n] = row-y value at x0(+1); pick rows y0/y0+1 and blend.
     v00 = jnp.sum(wy0 * c0, axis=0)
     v01 = jnp.sum(wy0 * c1, axis=0)

@@ -109,3 +109,56 @@ def test_m12_real_glyphs():
             best[x] = (lm.label, lm.result.score)
     read = [best[k][0] for k in sorted(best)]
     assert read == text, (read, [(k, v) for k, v in sorted(best.items())])
+
+
+def test_video_capture_source_file_mode(tmp_path, rng):
+    """VideoCaptureSource in every-frame (file) mode over a real encoded
+    clip — the concrete grabber implementation (C14) behind FrameSource."""
+    from fastest_image_pattern_matching_tpu.utils.sources import (
+        VideoCaptureSource)
+    path = str(tmp_path / "clip.avi")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                         (64, 48))
+    if not wr.isOpened():
+        pytest.skip("no MJPG encoder available")
+    frames = []
+    for i in range(6):
+        f = np.full((48, 64), 30 + i * 20, np.uint8)
+        f[10:20, 10 + i * 5:20 + i * 5] = 250
+        frames.append(f)
+        wr.write(cv2.cvtColor(f, cv2.COLOR_GRAY2BGR))
+    wr.release()
+
+    got = list(VideoCaptureSource(path, latest_only=False).frames())
+    assert len(got) == 6
+    for a, b in zip(got, frames):
+        assert a.shape == (48, 64)
+        assert np.abs(a.astype(int) - b.astype(int)).mean() < 12  # MJPG loss
+
+    got2 = list(VideoCaptureSource(path, max_frames=3,
+                                   latest_only=False).frames())
+    assert len(got2) == 3
+
+
+def test_video_capture_source_latest_only(tmp_path):
+    """Threaded latest-frame mailbox mode: frames arrive, stream end stops
+    iteration, close() is idempotent."""
+    from fastest_image_pattern_matching_tpu.utils.sources import (
+        VideoCaptureSource)
+    path = str(tmp_path / "clip2.avi")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30.0,
+                         (32, 32))
+    if not wr.isOpened():
+        pytest.skip("no MJPG encoder available")
+    for i in range(30):
+        wr.write(np.full((32, 32, 3), i * 8 % 255, np.uint8))
+    wr.release()
+
+    with VideoCaptureSource(path, timeout_s=2.0) as cam:
+        got = list(cam.frames())
+    assert 1 <= len(got) <= 30           # mailbox may drop frames
+    assert all(f.shape == (32, 32) for f in got)
+
+    src = VideoCaptureSource("/nonexistent/video.avi")
+    with pytest.raises(RuntimeError):
+        src.open()

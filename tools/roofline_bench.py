@@ -1,76 +1,126 @@
 """NCC correlation kernel roofline measurement (BASELINE: >=70% of MXU
 roofline per chip).
 
-Measures achieved MAC/s of the ccorr_conv MXU path on representative
-shapes, against v5e peaks (~197 TFLOP/s bf16, ~394 TOP/s int8). Outputs
-are forced via host readback with varied inputs (the tunnel fakes
-block_until_ready and caches identical executions).
+Measures the correlation backends on the shapes each one actually covers
+in the match pipeline (ops/ncc.py auto-dispatch):
+  * shiftmm — pyramid-descent refinement (tiny output grid, big template)
+  * banded  — many-target regime (small template over a huge map)
+  * conv    — top-layer sweep shapes
 
-Usage: timeout 900 python tools/roofline_bench.py
+Two rates are reported per case:
+  * mxu_util     — issued MACs / time / peak (how busy the MXU is)
+  * effective    — naive Ho*Wo*h*w MACs / time / peak (algorithmic rate;
+                   banded/shiftmm trade redundant MACs for MXU-friendly
+                   shapes, so effective < util by the redundancy factor)
+
+Timing protocol (axon tunnel): R executions of the kernel over R distinct
+inputs run inside ONE jitted scan with a single scalar readback, so the
+~25 ms round-trip floor is amortized to R-th; the floor itself is measured
+and subtracted. Usage: timeout 900 python tools/roofline_bench.py, or
+run_roofline(log) from a tpu_job_server job.
 """
 
 import json
 import sys
-import os as _os
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                       _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".jax_cache")
-                       if "tools" not in __file__ else
-                       _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), ".jax_cache"))
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, "/root/repo")
 
 V5E_PEAK = {"bf16": 197e12, "f32": 49e12, "int8": 394e12}
+R = 8  # in-program repetitions per measurement
+
+
+def run_roofline(log=print):
+    import jax
+    import jax.numpy as jnp
+    from fastest_image_pattern_matching_tpu.ops.ncc import (
+        ccorr_banded, ccorr_conv, ccorr_shiftmm)
+
+    rng = np.random.default_rng(0)
+
+    kernels = {"conv": ccorr_conv, "banded": ccorr_banded,
+               "shiftmm": ccorr_shiftmm}
+
+    # (name, method, B, H, W, h, w, issued-MACs formula)
+    def issued(method, B, H, W, h, w):
+        Ho, Wo = H - h + 1, W - w + 1
+        if method == "shiftmm":
+            return B * H * W * Ho * Wo
+        if method == "banded":
+            return h * B * Ho * W * Wo
+        return B * Ho * Wo * h * w
+
+    cases = [
+        ("refine_L0_flagship", "shiftmm", 24, 533, 774, 521, 762),
+        ("refine_L1_flagship", "shiftmm", 24, 273, 393, 261, 381),
+        ("many_target_sweep", "banded", 1, 1824, 1824, 27, 27),
+        ("test4_sweep", "banded", 1, 309, 407, 26, 35),
+        ("top_sweep_conv", "conv", 41, 128, 128, 16, 16),
+        ("medium_conv", "conv", 8, 512, 512, 64, 64),
+    ]
+
+    def timed_scan(fn, stack, templ):
+        def step(acc, s):
+            return acc + jnp.sum(fn(s)), 0.0
+        acc, _ = jax.lax.scan(step, jnp.float32(0.0), stack)
+        return acc
+
+    # Round-trip floor.
+    trivial = jax.jit(lambda x: jnp.sum(x[:8]))
+    z = jnp.arange(1024, dtype=jnp.float32)
+    float(trivial(z))
+    floors = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(trivial(z + np.float32(i)))
+        floors.append(time.perf_counter() - t0)
+    floor = sorted(floors)[1]
+    log(f"rt floor: {floor*1000:.1f} ms")
+
+    out = {"floor_ms": round(floor * 1000, 2), "reps": R}
+    for (name, method, B, H, W, h, w) in cases:
+        templ = jnp.asarray(rng.integers(-128, 128, (h, w))
+                            .astype(np.float32))
+        for dtype in ("bf16", "int8", "f32"):
+            if dtype == "int8" and method != "conv":
+                continue  # banded/shiftmm run bf16 internally
+            kern = kernels[method]
+            f = jax.jit(lambda st, t, d: timed_scan(
+                lambda s: kern(s, t, d), st, t), static_argnames="d")
+            key = f"{name}/{method}/{dtype}"
+            try:
+                stack = jnp.asarray(rng.integers(-128, 128, (R, B, H, W))
+                                    .astype(np.float32))
+                float(f(stack, templ, dtype))  # compile + warm
+                ts = []
+                for i in range(1, 4):
+                    t0 = time.perf_counter()
+                    float(f(stack + np.float32(i), templ, dtype))
+                    ts.append(time.perf_counter() - t0)
+                dt = max((sorted(ts)[1] - floor) / R, 1e-6)
+            except Exception as e:
+                out[key] = f"error: {str(e)[:80]}"
+                log(f"{key}: {out[key]}")
+                continue
+            Ho, Wo = H - h + 1, W - w + 1
+            naive = B * Ho * Wo * h * w
+            iss = issued(method, B, H, W, h, w)
+            peak = V5E_PEAK["bf16" if method != "conv" else dtype]
+            out[key] = {
+                "ms": round(dt * 1000, 3),
+                "issued_tmacs": round(iss / 1e12, 4),
+                # peak is FLOP/s; 1 MAC = 2 FLOPs.
+                "mxu_util": round(iss * 2 / dt / peak, 3),
+                "effective_frac": round(naive * 2 / dt / peak, 4),
+            }
+            log(f"{key}: {out[key]}")
+    return out
 
 
 def main():
-    from fastest_image_pattern_matching_tpu.utils.health import wait_for_device
-    if not wait_for_device(max_wait_s=900.0, retry_gap_s=60.0):
-        print(json.dumps({"error": "device unresponsive"}))
-        return 1
-
-    import jax
-    import jax.numpy as jnp
-    from fastest_image_pattern_matching_tpu.ops.ncc import ccorr_conv
-
-    rng = np.random.default_rng(0)
-    cases = [
-        # (name, B, H, W, h, w) — top-sweep-like and refinement-like.
-        ("top_sweep_small", 64, 128, 128, 16, 16),
-        ("top_sweep_wide", 41, 256, 256, 32, 40),
-        ("refine_large", 24, 527, 768, 521, 762),
-        ("plain_medium", 8, 1024, 1024, 128, 128),
-    ]
-    out = {}
-    for (name, B, H, W, h, w) in cases:
-        templ = jnp.asarray(
-            rng.integers(-128, 128, (h, w)).astype(np.float32))
-        f = jax.jit(lambda s, t, d: jnp.sum(ccorr_conv(s, t, d)),
-                    static_argnames="d")
-        for dtype in ("bf16", "int8", "f32"):
-            srcs = [jnp.asarray(rng.integers(-128, 128, (B, H, W))
-                                .astype(np.float32)) for _ in range(4)]
-            try:
-                float(f(srcs[0], templ, dtype))  # compile
-            except Exception as e:
-                out[f"{name}/{dtype}"] = f"error: {str(e)[:60]}"
-                continue
-            t0 = time.perf_counter()
-            for s in srcs[1:]:
-                float(f(s, templ, dtype))
-            dt = (time.perf_counter() - t0) / 3
-            macs = B * (H - h + 1) * (W - w + 1) * h * w
-            eff = macs * 2 / dt / V5E_PEAK.get(dtype, 197e12)
-            out[f"{name}/{dtype}"] = {
-                "ms": round(dt * 1000, 2),
-                "tflops": round(macs * 2 / dt / 1e12, 2),
-                "roofline_frac": round(eff, 3),
-            }
-            print(name, dtype, out[f"{name}/{dtype}"], flush=True)
+    out = run_roofline()
     print(json.dumps(out))
     return 0
 
