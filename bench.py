@@ -114,12 +114,18 @@ def main():
     # invariant to additive constants (numerator/denominator both
     # mean-subtract), so results are unchanged while every iteration is a
     # genuinely distinct execution (the tunnel can serve repeated identical
-    # executions from a cache).
+    # executions from a cache). The offset adds are materialized BEFORE
+    # the timed region (forced by a scalar readback): they are input prep
+    # for the timing protocol, not match work — a deployment feeds frames
+    # that are already device-resident.
     iters = 7
+    variants = [scene_dev + np.float32(i) for i in range(1, iters + 1)]
+    for v in variants:
+        float(v[0, 0])
     times = []
-    for i in range(1, iters + 1):
+    for v in variants:
         t0 = time.perf_counter()
-        ri = fipm.match(scene_dev + np.float32(i), pattern, cfg)
+        ri = fipm.match(v, pattern, cfg)
         times.append((time.perf_counter() - t0) * 1000.0)
     ms = sorted(times)[iters // 2]
     if len(ri) != n_found:

@@ -32,6 +32,11 @@ def main():
     print(f"[{time.strftime('%H:%M:%S')}] server: importing jax + claiming "
           "device (may take a long time)...", flush=True)
     import jax
+    # sitecustomize pre-imports jax, so the env vars above are too late;
+    # config.update works post-import (same pattern as bench.py).
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
     import numpy as np
     t0 = time.time()
