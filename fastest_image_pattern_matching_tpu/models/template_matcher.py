@@ -574,7 +574,12 @@ def _stats_key(stats):
     return tuple(bool(s[3]) for s in stats)
 
 
+@functools.lru_cache(maxsize=128)
 def _traced_stats_tuple(stats):
+    """Device scalars for the traced numeric stats. Cached on the (pure
+    Python floats) stats tuple: without this every match() call uploads
+    ~3*levels tiny scalars — ~21 serialized host->device transfers per
+    call through the tunnel."""
     return tuple((jnp.float32(s[0]), jnp.float32(s[1]), jnp.float32(s[2]),
                   s[3]) for s in stats)
 

@@ -217,9 +217,12 @@ def ncc_score_map(
     if method == "auto":
         import math as _math
         Ho, Wo = H - h + 1, W - w + 1
-        if Ho * Wo <= 512 and h * w > 4096:
-            # Small search window over a big template (the pyramid-descent
-            # refinement regime): shifted-template matmul.
+        if Ho * Wo <= 512:
+            # Small search window (the pyramid-descent refinement regime):
+            # shifted-template matmul. Even for small templates this beats
+            # XLA's single-input-channel conv lowering (1/128 MXU columns;
+            # flagship L4 descent measured ~6 ms on conv vs <1 ms here) at
+            # a modest Ho*Wo/(h*w) MAC redundancy.
             method = "shiftmm"
         else:
             # MXU MACs are ~2 orders cheaper than FFT butterflies on TPU.

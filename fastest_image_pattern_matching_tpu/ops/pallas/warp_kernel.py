@@ -11,8 +11,10 @@ interpolation as dense ops the TPU is built for:
     2. X interpolation = one dense matmul:  C = window @ Wx, where
        Wx[x, n] = (x==x0_n)(1-ax_n) + (x==x0_n+1) ax_n  is built on the
        VPU from broadcasted iota compares (2 taps per output column).
-    3. Y interpolation = masked reduction:  out[n] = sum_y Wy[y, n] C[y, n]
-       with the same 2-tap structure along y.
+    3. X fractional blend on the VPU (cx = (1-ax) C0 + ax C1), then
+       Y interpolation as ONE weighted masked reduction:
+       out[n] = sum_y Wy[y, n] cx[y, n], Wy carrying the (1-ay, ay)
+       fractional weights on its two taps.
 
 Exactness-preserving precision scheme (two variants):
   * "bf16": window values are u8-valued integers (exact in bf16), the
@@ -43,11 +45,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TH = 8      # output tile sublanes
+TH = 8      # default output tile sublanes (see tile_h below)
 TW = 128    # output tile lanes
-# Source window per tile: must cover the rotated tile bbox (TW + TH + 3 at
-# unit scale) plus origin alignment slack (8 sublanes / 128 lanes, required
-# for DMA slicing of tiled memrefs).
+# Source window per tile: must cover the rotated tile bbox plus origin
+# alignment slack (8 sublanes / 128 lanes, required for DMA slicing of
+# tiled memrefs). For a pure rotation the bbox span per axis is
+# TW|cos| + TH|sin| <= sqrt(TW^2 + TH^2), so any tile_h <= 32 fits the
+# same 144-wide window: sqrt(128^2+32^2)=131.9, +2 taps +1 floor slack
+# (x) / +7 8-row align slack +3 (y) <= 144. Taller tiles fetch the SAME
+# window per tile but cover tile_h/8 x more outputs — the per-output DMA
+# amplification drops proportionally (the warp is DMA-bound at large
+# ROIs).
 WIN_H = 144
 WIN_W = 384  # multiple of 128 (lane-dim slice alignment)
 # Selection width after the dynamic lane roll: the DMA must start on a
@@ -69,7 +77,8 @@ MATMUL_DTYPE = "int8"
 
 @functools.partial(
     jax.jit,
-    static_argnames=("out_hw", "quantize", "matmul_dtype", "interpret"))
+    static_argnames=("out_hw", "quantize", "matmul_dtype", "interpret",
+                     "tile_h"))
 def warp_affine_pallas(
     src: jnp.ndarray,          # [H, W] f32 (unpadded)
     inv_mats: jnp.ndarray,     # [B, 2, 3] f32
@@ -78,11 +87,21 @@ def warp_affine_pallas(
     quantize: bool = True,
     matmul_dtype: str = None,
     interpret: bool = False,
+    tile_h: int = None,
 ) -> jnp.ndarray:
     H, W = src.shape
     Ho, Wo = out_hw
     B = inv_mats.shape[0]
-    n_ti = pl.cdiv(Ho, TH)
+    if tile_h is None:
+        # Large ROIs are partly DMA-bound: taller tiles amortize the fixed
+        # 144x384 window fetch over more output rows. On-chip A/B (job
+        # 260_tileh_ab, v5e): th=16 fastest at flagship L0 (28.2 vs
+        # 29.2 ms for th=8, incl ~26 ms tunnel floor), th=32 in between
+        # (VMEM pressure); all exact.
+        tile_h = 16 if Ho >= 16 else TH
+    assert tile_h in (8, 16, 32), tile_h
+    th = tile_h
+    n_ti = pl.cdiv(Ho, th)
     n_tj = pl.cdiv(Wo, TW)
     if matmul_dtype is None:
         matmul_dtype = MATMUL_DTYPE
@@ -104,7 +123,7 @@ def warp_affine_pallas(
                          (B, 4)),
     ], axis=1)  # [B, 10]
 
-    body = functools.partial(_warp_kernel_body, matmul_dtype)
+    body = functools.partial(_warp_kernel_body, matmul_dtype, th)
     out = pl.pallas_call(
         body,
         grid=(B, n_ti, n_tj),
@@ -112,12 +131,12 @@ def warp_affine_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, TH, TW), lambda b, i, j: (b, i, j)),
-        out_shape=jax.ShapeDtypeStruct((B, n_ti * TH, n_tj * TW),
+        out_specs=pl.BlockSpec((1, th, TW), lambda b, i, j: (b, i, j)),
+        out_shape=jax.ShapeDtypeStruct((B, n_ti * th, n_tj * TW),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((WIN_H, WIN_W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, WIN_H, WIN_W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(params, padded)
@@ -127,8 +146,89 @@ def warp_affine_pallas(
     return out
 
 
-def _warp_kernel_body(matmul_dtype, inv_ref, src_hbm, out_ref, win_ref, sem):
+def _warp_kernel_body(matmul_dtype, th, inv_ref, src_hbm, out_ref, win_ref,
+                      sem):
     bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    nb = pl.num_programs(0)
+    nti = pl.num_programs(1)
+    ntj = pl.num_programs(2)
+    Hp = inv_ref[0, 8].astype(jnp.int32)   # padded dims: same for all b
+    Wp = inv_ref[0, 9].astype(jnp.int32)
+
+    def origins(b_, i_, j_):
+        """Window origins for grid cell (b_, i_, j_): the DMA origin
+        (oy, ox) and the desired unaligned lane origin ux."""
+        a_ = inv_ref[b_, 0]
+        b2 = inv_ref[b_, 1]
+        tx_ = inv_ref[b_, 2]
+        c_ = inv_ref[b_, 3]
+        d_ = inv_ref[b_, 4]
+        ty_ = inv_ref[b_, 5]
+        H_ = inv_ref[b_, 6]
+        W_ = inv_ref[b_, 7]
+        i0_ = (i_ * th).astype(jnp.float32)
+        j0_ = (j_ * TW).astype(jnp.float32)
+        lo_x_ = -jnp.float32(PAD - 2)
+        hi_x_ = W_ + jnp.float32(PAD - 3)
+        lo_y_ = -jnp.float32(PAD - 2)
+        hi_y_ = H_ + jnp.float32(PAD - 3)
+
+        def corner(ii_, jj_):
+            fx_ = a_ * jj_ + b2 * ii_ + tx_
+            fy_ = c_ * jj_ + d_ * ii_ + ty_
+            return (jnp.clip(fx_, lo_x_, hi_x_),
+                    jnp.clip(fy_, lo_y_, hi_y_))
+
+        cs = [corner(i0_, j0_), corner(i0_ + th - 1, j0_),
+              corner(i0_, j0_ + TW - 1),
+              corner(i0_ + th - 1, j0_ + TW - 1)]
+        min_fx = jnp.minimum(jnp.minimum(cs[0][0], cs[1][0]),
+                             jnp.minimum(cs[2][0], cs[3][0]))
+        min_fy = jnp.minimum(jnp.minimum(cs[0][1], cs[1][1]),
+                             jnp.minimum(cs[2][1], cs[3][1]))
+        wx0_ = jnp.floor(min_fx).astype(jnp.int32) - 1
+        wy0_ = jnp.floor(min_fy).astype(jnp.int32) - 1
+        # Desired (unaligned) lane origin; the DMA origin ox is its
+        # 128-aligned clipped floor. Wp % 128 == 0 (host pads), so even at
+        # the right edge ux - ox <= WIN_W - SEL_W and the post-roll
+        # [0, SEL_W) slice never wraps (tile taps live in [ux, ux + SEL_W)
+        # by construction).
+        ux_ = jnp.clip(wx0_ + PAD, 0, Wp - SEL_W)
+        ox_ = jnp.clip(ux_, 0, Wp - WIN_W) // 128 * 128
+        oy_ = jnp.clip(wy0_ + PAD, 0, Hp - WIN_H) // 8 * 8
+        return oy_, ox_, ux_
+
+    def dma_for(oy_, ox_, s_):
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(oy_, WIN_H), pl.ds(ox_, WIN_W)],
+            win_ref.at[s_], sem.at[s_])
+
+    # Double-buffered window pipeline: cell k waits on slot k%2 (issued by
+    # cell k-1, or by itself when k==0) and prefetches cell k+1's window
+    # into slot (k+1)%2 before computing — the window DMA (~221 KB,
+    # latency ~1us) overlaps the current cell's masks+matmuls instead of
+    # serializing with them.
+    k = (bi * nti + ti) * ntj + tj
+    total = nb * nti * ntj
+    slot = jax.lax.rem(k, 2)
+    oy, ox, ux = origins(bi, ti, tj)
+
+    @pl.when(k == 0)
+    def _():
+        dma_for(oy, ox, 0).start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        k1 = k + 1
+        nbi = k1 // (nti * ntj)
+        rem = k1 - nbi * (nti * ntj)
+        ni = rem // ntj
+        nj = rem - ni * ntj
+        noy, nox, _ = origins(nbi, ni, nj)
+        dma_for(noy, nox, jax.lax.rem(k1, 2)).start()
+
     a = inv_ref[bi, 0]
     b = inv_ref[bi, 1]
     tx = inv_ref[bi, 2]
@@ -137,50 +237,19 @@ def _warp_kernel_body(matmul_dtype, inv_ref, src_hbm, out_ref, win_ref, sem):
     ty = inv_ref[bi, 5]
     H = inv_ref[bi, 6]
     W = inv_ref[bi, 7]
-    Hp = inv_ref[bi, 8].astype(jnp.int32)
-    Wp = inv_ref[bi, 9].astype(jnp.int32)
-
-    ti = pl.program_id(1)
-    tj = pl.program_id(2)
-    i0 = (ti * TH).astype(jnp.float32)
+    i0 = (ti * th).astype(jnp.float32)
     j0 = (tj * TW).astype(jnp.float32)
-
     lo_x = -jnp.float32(PAD - 2)
     hi_x = W + jnp.float32(PAD - 3)
     lo_y = -jnp.float32(PAD - 2)
     hi_y = H + jnp.float32(PAD - 3)
 
-    def corner(ii, jj):
-        fx = a * jj + b * ii + tx
-        fy = c * jj + d * ii + ty
-        return (jnp.clip(fx, lo_x, hi_x), jnp.clip(fy, lo_y, hi_y))
-
-    cs = [corner(i0, j0), corner(i0 + TH - 1, j0),
-          corner(i0, j0 + TW - 1), corner(i0 + TH - 1, j0 + TW - 1)]
-    min_fx = jnp.minimum(jnp.minimum(cs[0][0], cs[1][0]),
-                         jnp.minimum(cs[2][0], cs[3][0]))
-    min_fy = jnp.minimum(jnp.minimum(cs[0][1], cs[1][1]),
-                         jnp.minimum(cs[2][1], cs[3][1]))
-    wx0 = jnp.floor(min_fx).astype(jnp.int32) - 1
-    wy0 = jnp.floor(min_fy).astype(jnp.int32) - 1
-    # Desired (unaligned) lane origin; the DMA origin ox is its 128-aligned
-    # clipped floor. Wp % 128 == 0 (host pads), so even at the right edge
-    # d = ux - ox <= WIN_W - SEL_W and the post-roll [0, SEL_W) slice never
-    # wraps (tile taps live in [ux, ux + SEL_W) by construction).
-    ux = jnp.clip(wx0 + PAD, 0, Wp - SEL_W)
-    ox = jnp.clip(ux, 0, Wp - WIN_W) // 128 * 128
-    oy = jnp.clip(wy0 + PAD, 0, Hp - WIN_H) // 8 * 8
-
-    dma = pltpu.make_async_copy(
-        src_hbm.at[pl.ds(oy, WIN_H), pl.ds(ox, WIN_W)], win_ref, sem)
-    dma.start()
-
-    ii = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(
+    ii = jax.lax.broadcasted_iota(jnp.int32, (th, TW), 0).astype(
         jnp.float32) + i0
-    jj = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(
+    jj = jax.lax.broadcasted_iota(jnp.int32, (th, TW), 1).astype(
         jnp.float32) + j0
-    fx = jnp.clip(a * jj + b * ii + tx, lo_x, hi_x).reshape(1, TH * TW)
-    fy = jnp.clip(c * jj + d * ii + ty, lo_y, hi_y).reshape(1, TH * TW)
+    fx = jnp.clip(a * jj + b * ii + tx, lo_x, hi_x).reshape(1, th * TW)
+    fy = jnp.clip(c * jj + d * ii + ty, lo_y, hi_y).reshape(1, th * TW)
     x0f = jnp.floor(fx)
     y0f = jnp.floor(fy)
     ax = fx - x0f
@@ -188,18 +257,27 @@ def _warp_kernel_body(matmul_dtype, inv_ref, src_hbm, out_ref, win_ref, sem):
     xr = x0f - (ux - PAD).astype(jnp.float32)   # in [0, SEL_W - 2]
     yr = y0f - (oy - PAD).astype(jnp.float32)
 
-    iota_x = jax.lax.broadcasted_iota(jnp.int32, (SEL_W, TH * TW), 0).astype(
+    iota_x = jax.lax.broadcasted_iota(jnp.int32, (SEL_W, th * TW), 0).astype(
         jnp.float32)
-    iota_y = jax.lax.broadcasted_iota(jnp.int32, (WIN_H, TH * TW), 0).astype(
+    iota_y = jax.lax.broadcasted_iota(jnp.int32, (WIN_H, th * TW), 0).astype(
         jnp.float32)
-    wy0 = jnp.where(iota_y == yr, 1.0, 0.0)
-    wy1 = jnp.where(iota_y == yr + 1.0, 1.0, 0.0)
+    # Fractional y-weights folded into ONE weighted selection mask: the
+    # four unweighted masked reductions this replaces were the kernel's
+    # VPU bottleneck (4 x [WIN_H, th*TW] mul+sum passes; ~half the L0
+    # descent time). Σ_y wy_w*cx is mathematically identical to the
+    # 4-corner blend; f32 rounding differs by ulps (the bilinear blend
+    # was never bitwise-unique across backends — cv2 parity is
+    # tolerance-based).
+    ay_b = ay  # [1, th*TW]
+    wy_w = (jnp.where(iota_y == yr, 1.0, 0.0) * (1.0 - ay_b)
+            + jnp.where(iota_y == yr + 1.0, 1.0, 0.0) * ay_b)
 
-    dma.wait()
+    dma_for(oy, ox, slot).wait()
     # Normalize the lane origin: roll the alignment remainder away and keep
     # only the SEL_W lanes the tile can touch.
     dlt = ux - ox
-    win = pltpu.roll(win_ref[:], shift=jnp.mod(WIN_W - dlt, WIN_W), axis=1)
+    win = pltpu.roll(win_ref[slot], shift=jnp.mod(WIN_W - dlt, WIN_W),
+                     axis=1)
     dn = (((1,), (0,)), ((), ()))
     if matmul_dtype == "int8":
         # Centered-u8 int8 scheme: window - 128 in [-128, 127] is exact in
@@ -222,13 +300,8 @@ def _warp_kernel_body(matmul_dtype, inv_ref, src_hbm, out_ref, win_ref, sem):
                                  preferred_element_type=jnp.float32)
         c1 = jax.lax.dot_general(win_bf, sel1, dn,
                                  preferred_element_type=jnp.float32)
-    # cN[y, n] = row-y value at x0(+1); pick rows y0/y0+1 and blend.
-    v00 = jnp.sum(wy0 * c0, axis=0)
-    v01 = jnp.sum(wy0 * c1, axis=0)
-    v10 = jnp.sum(wy1 * c0, axis=0)
-    v11 = jnp.sum(wy1 * c1, axis=0)
-    ax1 = ax.reshape(TH * TW)
-    ay1 = ay.reshape(TH * TW)
-    out = ((1.0 - ax1) * (1.0 - ay1) * v00 + ax1 * (1.0 - ay1) * v01
-           + (1.0 - ax1) * ay1 * v10 + ax1 * ay1 * v11)
-    out_ref[0] = out.reshape(TH, TW)
+    # cN[y, n] = row-y value at x0(+1). x-blend first ([WIN_H, th*TW],
+    # one pass), then ONE weighted row-reduction with wy_w.
+    cx = (1.0 - ax) * c0 + ax * c1
+    out = jnp.sum(wy_w * cx, axis=0)
+    out_ref[0] = out.reshape(th, TW)
