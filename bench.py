@@ -137,6 +137,46 @@ def main():
         }))
         return 1
 
+    # Amortized on-chip per-match latency: R full matches of distinct
+    # inputs inside ONE jitted scan (NCC is invariant to the offsets), so
+    # the ~24 ms serialized-tunnel round trip amortizes away. This is the
+    # per-frame number a deployment pays on a streamed batch. Guarded:
+    # failure must not poison the headline metric.
+    amortized = None
+    try:
+        import jax
+        from fastest_image_pattern_matching_tpu.models.template_matcher \
+            import _compiled, _prepare
+        plan, ekey, args = _prepare(scene_dev, pattern, cfg)
+        fn = _compiled(plan, ekey)
+        rest = args[1:]
+        R = 8
+
+        def reps(s):
+            def step(acc, i):
+                packed = fn(s + i.astype(jnp.float32), *rest)
+                return acc + jnp.sum(packed), 0.0
+            acc, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(R))
+            return acc
+
+        g = jax.jit(reps)
+        float(g(scene_dev))
+        triv = jax.jit(lambda s: jnp.sum(s[:8, :8]))
+        float(triv(scene_dev))
+        ats, fls = [], []
+        for i in range(1, 6):
+            s = scene_dev + np.float32(50 + i)
+            float(s[0, 0])
+            t0 = time.perf_counter()
+            float(triv(s))
+            fls.append((time.perf_counter() - t0) * 1000.0)
+            t0 = time.perf_counter()
+            float(g(s))
+            ats.append((time.perf_counter() - t0) * 1000.0)
+        amortized = round((sorted(ats)[2] - sorted(fls)[2]) / R, 1)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "src7_flagship_e2e_ms",
         "value": round(ms, 2),
@@ -147,6 +187,7 @@ def main():
             "scores": [round(r.score, 3) for r in res],
             "angles": [round(r.angle, 2) for r in res],
             "reference_ms": REFERENCE_MS,
+            "amortized_onchip_ms": amortized,
         },
     }))
     return 0
