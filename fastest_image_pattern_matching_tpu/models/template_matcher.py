@@ -218,6 +218,15 @@ def build_stages(plan: _Plan, stats):
     warp_impl = _os.environ.get("FIPM_WARP_IMPL",
                                 "pallas" if on_tpu else "gather")
 
+    # Effective correlation dtype: with quantized warps every NCC input is
+    # integer-valued, so the int8 MXU path (2x bf16 rate) is exact wherever
+    # its int32-accumulator bound holds — the backends fall back to bf16
+    # (also exact) past the bound. Unquantized warps produce fractional
+    # canvases, which int8 would truncate — keep bf16 there.
+    eff_dtype = cfg.compute_dtype
+    if eff_dtype == "bf16" and cfg.quantize_warp:
+        eff_dtype = "int8"
+
     def sweep_maps(src_top, templ_top, inv_mats, valid_wh):
         """Per-angle score-map peaks for an arbitrary angle subset:
         [a, 2, 3], [a, 2] -> vals [a, K], locs [a, K, 2]. This is the
@@ -247,7 +256,7 @@ def build_stages(plan: _Plan, stats):
                     quantize=cfg.quantize_warp, impl=warp_impl)
             smap = ncc_score_map(
                 canv, templ_top, stats_top[0], stats_top[1], stats_top[2],
-                stats_top[3], cfg.compute_dtype)
+                stats_top[3], eff_dtype)
             ok = ((xs[None] <= (vwh[:, 0] - tw_t)[:, None, None])
                   & (ys[None] <= (vwh[:, 1] - th_t)[:, None, None]))
             smap = jnp.where(ok, smap, jnp.float32(-1.0))
@@ -343,7 +352,7 @@ def build_stages(plan: _Plan, stats):
                                            impl=warp_impl)
             smap = ncc_score_map(roi, templ_l, stats_l[0], stats_l[1],
                                  stats_l[2], stats_l[3],
-                                 cfg.compute_dtype)  # [cc*k, 7, 7]
+                                 eff_dtype)  # [cc*k, 7, 7]
             flat = smap.reshape(cc * k_ang, 49)
             fi = jnp.argmax(flat, axis=1)
             v = flat[jnp.arange(cc * k_ang), fi]

@@ -56,7 +56,8 @@ def ccorr_conv(
         lhs = canvases_c.astype(jnp.int8)[:, None]
         rhs = templ_c.astype(jnp.int8)[None, None]
         acc = jnp.int32
-    elif compute_dtype == "bf16":
+    elif compute_dtype in ("bf16", "int8"):
+        # "int8" past the accumulator bound falls back to bf16 (exact).
         lhs = canvases_c.astype(jnp.bfloat16)[:, None]
         rhs = templ_c.astype(jnp.bfloat16)[None, None]
         acc = jnp.float32
@@ -91,19 +92,29 @@ def ccorr_shiftmm(
     B, H, W = canvases_c.shape
     h, w = templ_c.shape
     Ho, Wo = H - h + 1, W - w + 1
-    if compute_dtype == "bf16":
+    # int8 (2x MXU rate) requires integer-valued inputs (caller opts in
+    # via compute_dtype="int8") and an overflow-free int32 accumulator:
+    # the contraction runs over the full H*W ROI (the shifted copies are
+    # zero outside the template), so the bound is H*W * 128 * 128.
+    if compute_dtype == "int8" and H * W * 128 * 128 < 2**31:
+        tc = templ_c.astype(jnp.int8)
+        rc = canvases_c.astype(jnp.int8)
+        acc = jnp.int32
+    elif compute_dtype in ("bf16", "int8"):
         tc = templ_c.astype(jnp.bfloat16)
         rc = canvases_c.astype(jnp.bfloat16)
+        acc = jnp.float32
     else:
         tc = templ_c
         rc = canvases_c
+        acc = jnp.float32
     shifts = [jnp.pad(tc, ((dy, Ho - 1 - dy), (dx, Wo - 1 - dx)))
               for dy in range(Ho) for dx in range(Wo)]
     tsh = jnp.stack(shifts)  # [Ho*Wo, H, W]
     out = jax.lax.dot_general(
         rc, tsh, (((1, 2), (1, 2)), ((), ())),
-        preferred_element_type=jnp.float32)  # [B, Ho*Wo]
-    return out.reshape(B, Ho, Wo)
+        preferred_element_type=acc)  # [B, Ho*Wo]
+    return out.astype(jnp.float32).reshape(B, Ho, Wo)
 
 
 def ccorr_banded(
@@ -127,14 +138,26 @@ def ccorr_banded(
     B, H, W = canvases_c.shape
     h, w = templ_c.shape
     Ho, Wo = H - h + 1, W - w + 1
-    dt = jnp.bfloat16 if compute_dtype in ("bf16", "int8") else jnp.float32
+    # int8 (2x MXU rate; caller opts in, guaranteeing integer inputs):
+    # each band row holds w nonzero template values, so the full
+    # correlation magnitude is bounded by h*w*128*128 — accumulate the
+    # scan in int32 (exact far beyond the f32 path's 2^24 mantissa).
+    use_i8 = compute_dtype == "int8" and h * w * 128 * 128 < 2**31
+    dt = (jnp.int8 if use_i8
+          else jnp.bfloat16 if compute_dtype in ("bf16", "int8")
+          else jnp.float32)
+    accdt = jnp.int32 if use_i8 else jnp.float32
     x_i = jax.lax.broadcasted_iota(jnp.int32, (W, Wo), 0)
     v_i = jax.lax.broadcasted_iota(jnp.int32, (W, Wo), 1)
     diff = x_i - v_i
     tc = templ_c.astype(dt)
     band = jnp.zeros((h, W, Wo), dt)
     for j in range(w):
-        band = band + tc[:, j][:, None, None] * (diff == j).astype(dt)
+        if use_i8:
+            band = band + jnp.where(diff == j, tc[:, j][:, None, None],
+                                    jnp.int8(0))
+        else:
+            band = band + tc[:, j][:, None, None] * (diff == j).astype(dt)
     cb = canvases_c.astype(dt)
 
     def step(acc, dy):
@@ -142,11 +165,11 @@ def ccorr_banded(
         bd = jax.lax.dynamic_index_in_dim(band, dy, 0, keepdims=False)
         return acc + jax.lax.dot_general(
             xs, bd, (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32), 0.0
+            preferred_element_type=accdt), 0.0
 
-    acc0 = jnp.zeros((B, Ho, Wo), jnp.float32)
+    acc0 = jnp.zeros((B, Ho, Wo), accdt)
     out, _ = jax.lax.scan(step, acc0, jnp.arange(h))
-    return out
+    return out.astype(jnp.float32)
 
 
 # Band-matrix HBM budget for ccorr_banded eligibility (h*W*Wo bf16 elems).
