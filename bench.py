@@ -137,45 +137,31 @@ def main():
         }))
         return 1
 
-    # Amortized on-chip per-match latency: R full matches of distinct
-    # inputs inside ONE jitted scan (NCC is invariant to the offsets), so
-    # the ~24 ms serialized-tunnel round trip amortizes away. This is the
-    # per-frame number a deployment pays on a streamed batch. Guarded:
-    # failure must not poison the headline metric.
+    # Amortized per-frame latency through the PUBLIC batched API
+    # (fipm.match_many): R distinct device-resident frames, ONE compiled
+    # dispatch, so the ~24 ms serialized-tunnel round trip amortizes
+    # away. This is the per-frame number a deployment pays on a streamed
+    # batch, measured on the user-reachable path. Guarded: failure must
+    # not poison the headline metric.
     amortized = None
     try:
-        import jax
-        from fastest_image_pattern_matching_tpu.models.template_matcher \
-            import _compiled, _prepare
-        plan, ekey, args = _prepare(scene_dev, pattern, cfg)
-        fn = _compiled(plan, ekey)
-        rest = args[1:]
         R = 8
-
-        def reps(s):
-            def step(acc, i):
-                packed = fn(s + i.astype(jnp.float32), *rest)
-                return acc + jnp.sum(packed), 0.0
-            acc, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(R))
-            return acc
-
-        g = jax.jit(reps)
-        float(g(scene_dev))
-        triv = jax.jit(lambda s: jnp.sum(s[:8, :8]))
-        float(triv(scene_dev))
-        ats, fls = [], []
+        stack = jnp.stack([scene_dev + np.float32(50 + i) for i in range(R)])
+        float(stack[0, 0, 0])
+        rb = fipm.match_many(stack, pattern, cfg)           # compile+warmup
+        if any(len(r) != n_found for r in rb):
+            raise RuntimeError(f"batched results diverged: "
+                               f"{[len(r) for r in rb]}")
+        ats = []
         for i in range(1, 6):
-            s = scene_dev + np.float32(50 + i)
-            float(s[0, 0])
+            sv = stack + np.float32(60 + i)
+            float(sv[0, 0, 0])
             t0 = time.perf_counter()
-            float(triv(s))
-            fls.append((time.perf_counter() - t0) * 1000.0)
-            t0 = time.perf_counter()
-            float(g(s))
+            fipm.match_many(sv, pattern, cfg)
             ats.append((time.perf_counter() - t0) * 1000.0)
-        amortized = round((sorted(ats)[2] - sorted(fls)[2]) / R, 1)
-    except Exception:
-        pass
+        amortized = round(sorted(ats)[2] / R, 1)
+    except Exception as e:
+        print(f"bench: amortized-path failed: {e!r}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "src7_flagship_e2e_ms",
@@ -187,7 +173,15 @@ def main():
             "scores": [round(r.score, 3) for r in res],
             "angles": [round(r.angle, 2) for r in res],
             "reference_ms": REFERENCE_MS,
-            "amortized_onchip_ms": amortized,
+            # Per-frame latency of an 8-frame batch through the public
+            # fipm.match_many API (includes the amortized dispatch floor).
+            "amortized_api_ms_per_frame": amortized,
+            # Timing-protocol provenance (changed in round 2): the
+            # cache-busting additive-offset variants are materialized on
+            # device BEFORE the timed region; timed iterations measure
+            # dispatch + full match on an HBM-resident frame only.
+            "protocol": "input-prep (offset variants) excluded from "
+                        "timing; median of 7 varied-input dispatches",
         },
     }))
     return 0

@@ -14,11 +14,14 @@ from .types import LearnedPattern, MatchResult
 from .models.template_matcher import (TemplateMatcher, learn_pattern, match,
                                       match_arrays, match_candidates,
                                       match_template)
+from .models.batch import (BatchMatcher, match_many, match_many_arrays,
+                           match_patterns)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "MatchConfig", "LearnedPattern", "MatchResult",
     "TemplateMatcher", "learn_pattern", "match", "match_arrays",
     "match_candidates", "match_template",
+    "BatchMatcher", "match_many", "match_many_arrays", "match_patterns",
 ]

@@ -1,0 +1,273 @@
+"""Public batched single-chip matching — many frames (or many templates)
+per dispatch.
+
+The reference's deployment mode is a repeated-Execute loop over camera
+frames (MatchTool/MatchToolDlg.cpp:714; src/CameraPreviewDialog.cpp:84-131
+feeds frames to the same matcher). On TPU the per-dispatch round trip
+dominates small matches, so the serving-shape API runs B frames through
+ONE compiled program (lax.map over frames — the Pallas warp kernel takes
+its source as a whole-array operand, so map rather than vmap, exactly as
+the sharded matcher does) and returns results [B, max_pos, ...] in a
+single host transfer. Per-frame cost therefore amortizes to the on-chip
+compute time; this module is the user-reachable path for that number.
+
+Glyph-batched matching (match_patterns) is the same idea along the
+template axis: the reference's OCR demo loops 36 glyph patterns over one
+source (MatchToolDlg.cpp:714-771); here same-shaped glyph patterns share
+one program with the source pyramid hoisted out of the per-glyph loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MatchConfig
+from ..types import LearnedPattern, MatchResult
+from .template_matcher import (_Plan, _make_plan, _pack_result,
+                               _plan_device_arrays, _stats_key,
+                               _traced_stats_tuple, _unpack_result,
+                               _get_pattern_dev, build_stages, match_arrays)
+
+
+def _next_bucket(n: int) -> int:
+    """Power-of-two batch bucket: bounds the number of compiled program
+    variants to log2 of the largest batch ever seen."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_batch(plan: _Plan, equal1_key, b: int):
+    def fn(srcs, templs, tstats, inv_mats, trans, valid_wh, angles_arr):
+        stats = tuple((t[0], t[1], t[2], e)
+                      for t, e in zip(tstats, equal1_key))
+        st = build_stages(plan, stats)
+
+        def one(src):
+            out = st.match_fn(src, templs, inv_mats, trans, valid_wh,
+                              angles_arr)
+            return _pack_result(out, plan.cfg.max_pos)
+
+        return jax.lax.map(one, srcs)
+
+    return jax.jit(fn)
+
+
+def _prepare_batch(srcs, pattern: LearnedPattern, cfg: MatchConfig,
+                   batch_bucket: Optional[int]):
+    if not isinstance(srcs, jnp.ndarray):
+        srcs = np.asarray(srcs)
+    if srcs.ndim == 4:
+        srcs = srcs[..., 0]
+    if srcs.ndim != 3:
+        raise ValueError(f"srcs must be [B, H, W], got shape {srcs.shape}")
+    B = srcs.shape[0]
+    # u8-value contract, same as the single-image path (host check only;
+    # device-resident inputs are clipped inside the program).
+    if isinstance(srcs, np.ndarray) and srcs.dtype != np.uint8:
+        lo, hi = float(srcs.min()), float(srcs.max())
+        if lo < 0.0 or hi > 255.0:
+            raise ValueError(
+                f"source values must lie in [0, 255], got [{lo}, {hi}]")
+    t0 = pattern.levels[0].templ
+    if t0.shape[0] * t0.shape[1] > srcs.shape[1] * srcs.shape[2]:
+        raise ValueError("template larger than source")
+
+    bucket = batch_bucket or _next_bucket(B)
+    if bucket < B:
+        raise ValueError(f"batch_bucket {bucket} < batch {B}")
+    plan = _make_plan(srcs.shape[1:], pattern, cfg)
+    stats = tuple((lv.mean, lv.norm, lv.inv_area, lv.result_equal1)
+                  for lv in pattern.levels)
+    templs = _get_pattern_dev(pattern)
+    srcs_dev = srcs if isinstance(srcs, jnp.ndarray) else jnp.asarray(
+        srcs, jnp.float32)
+    if srcs_dev.dtype != jnp.float32:
+        srcs_dev = srcs_dev.astype(jnp.float32)
+    if bucket > B:
+        srcs_dev = jnp.pad(srcs_dev, ((0, bucket - B), (0, 0), (0, 0)))
+    ekey = _stats_key(stats)
+    args = (srcs_dev, templs, _traced_stats_tuple(stats)) + \
+        _plan_device_arrays(plan)
+    return plan, ekey, args, B, bucket
+
+
+def match_many_arrays(
+    srcs, pattern: LearnedPattern, cfg: Optional[MatchConfig] = None,
+    batch_bucket: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Match one pattern against B frames in ONE compiled dispatch.
+
+    srcs: [B, H, W] (numpy u8/float, or a device-resident jax array for
+    the upload-once serving path). Returns stacked result arrays:
+    score/angle [B, max_pos], center [B, max_pos, 2],
+    corners [B, max_pos, 4, 2], valid [B, max_pos].
+
+    batch_bucket: static batch size to compile for (defaults to the next
+    power of two >= B; padded frames are zero and produce no matches).
+    """
+    cfg = cfg or MatchConfig()
+    plan, ekey, args, B, bucket = _prepare_batch(srcs, pattern, cfg,
+                                                 batch_bucket)
+    packed = np.asarray(_compiled_batch(plan, ekey, bucket)(*args))
+    outs = [_unpack_result(packed[i]) for i in range(B)]
+    # Per-frame NMS-cap overflow (rare): re-run those frames through the
+    # single-image path, which re-dispatches with the cap lifted.
+    for i, o in enumerate(outs):
+        if o.pop("nms_overflow", False) and plan.nms_cap < plan.c_max:
+            frame = srcs[i] if not isinstance(srcs, jnp.ndarray) else srcs[i]
+            outs[i] = match_arrays(np.asarray(frame), pattern, cfg)
+        else:
+            o.pop("nms_overflow", None)
+    return {
+        "score": np.stack([o["score"] for o in outs]),
+        "angle": np.stack([o["angle"] for o in outs]),
+        "center": np.stack([o["center"] for o in outs]),
+        "corners": np.stack([o["corners"] for o in outs]),
+        "valid": np.stack([o["valid"] for o in outs]),
+    }
+
+
+def _results_from_arrays(out: Dict[str, np.ndarray], i: int,
+                         pattern: LearnedPattern) -> List[MatchResult]:
+    results = []
+    for j in range(out["valid"].shape[1]):
+        if not out["valid"][i][j]:
+            continue
+        c = out["corners"][i][j]
+        r = MatchResult(
+            score=float(out["score"][i][j]), angle=float(out["angle"][i][j]),
+            center=tuple(out["center"][i][j].tolist()),
+            lt=tuple(c[0].tolist()), rt=tuple(c[1].tolist()),
+            rb=tuple(c[2].tolist()), lb=tuple(c[3].tolist()))
+        if pattern.regions:
+            r.regions = tuple(r.project_points(reg) for reg in pattern.regions)
+        results.append(r)
+    return results
+
+
+def match_many(srcs, pattern: LearnedPattern,
+               cfg: Optional[MatchConfig] = None,
+               batch_bucket: Optional[int] = None) -> List[List[MatchResult]]:
+    """Batched front door: B frames in, a MatchResult list per frame out,
+    one compiled dispatch (see match_many_arrays)."""
+    cfg = cfg or MatchConfig()
+    out = match_many_arrays(srcs, pattern, cfg, batch_bucket)
+    return [_results_from_arrays(out, i, pattern)
+            for i in range(out["valid"].shape[0])]
+
+
+class BatchMatcher:
+    """Serving-shape convenience wrapper: hold (pattern, config), upload
+    frames once, dispatch batches through the one compiled program.
+
+    The streaming analogue of the reference's camera->Execute loop
+    (src/CameraPreviewDialog.cpp:84-131): feed it frame batches as they
+    arrive; each equal-shaped batch costs one dispatch.
+    """
+
+    def __init__(self, pattern: LearnedPattern,
+                 config: Optional[MatchConfig] = None,
+                 batch_size: int = 8):
+        self.pattern = pattern
+        self.config = config or MatchConfig()
+        self.batch_size = batch_size
+
+    def warmup(self, frame_shape: Tuple[int, int]) -> None:
+        """Compile the batched program for a frame shape ahead of time."""
+        dummy = np.zeros((self.batch_size,) + tuple(frame_shape), np.uint8)
+        match_many_arrays(dummy, self.pattern, self.config,
+                          batch_bucket=self.batch_size)
+
+    def match_batch(self, frames) -> List[List[MatchResult]]:
+        return match_many(frames, self.pattern, self.config,
+                          batch_bucket=max(self.batch_size,
+                                           _next_bucket(len(frames))))
+
+
+# ---------------------------------------------------------------------------
+# Template-axis batching (glyph sets / OCR).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _compiled_glyphs(plan: _Plan, equal1_key, g: int):
+    n_levels = len(equal1_key)
+
+    def fn(src, templs_stk, stats_stk, inv_mats, trans, valid_wh,
+           angles_arr):
+        # templs_stk: tuple of [G, h_l, w_l] per level; stats_stk: [G, L, 3].
+        stats0 = tuple((stats_stk[0, l, 0], stats_stk[0, l, 1],
+                        stats_stk[0, l, 2], equal1_key[l])
+                       for l in range(n_levels))
+        st0 = build_stages(plan, stats0)
+        from ..ops.pyramid import build_pyramid
+        pyr = build_pyramid(st0.prep_src(src), plan.top)
+
+        def body(args):
+            templs_g, st_g = args
+            stats = tuple((st_g[l, 0], st_g[l, 1], st_g[l, 2], equal1_key[l])
+                          for l in range(n_levels))
+            st = build_stages(plan, stats)
+            out = st.match_from_pyr(pyr, templs_g, inv_mats, trans,
+                                    valid_wh, angles_arr)
+            return _pack_result(out, plan.cfg.max_pos)
+
+        return jax.lax.map(body, (templs_stk, stats_stk))
+
+    return jax.jit(fn)
+
+
+def match_patterns(src, patterns: Sequence[LearnedPattern],
+                   cfg: Optional[MatchConfig] = None
+                   ) -> List[Dict[str, np.ndarray]]:
+    """Match G same-shaped patterns against one source in one dispatch
+    per shape group, with the source pyramid computed once per group.
+
+    Patterns are grouped by (pyramid shapes, flat-flags, border color);
+    each group shares one compiled program (numeric stats are traced).
+    Returns one result-arrays dict per pattern, in input order.
+    """
+    cfg = cfg or MatchConfig()
+    groups: Dict[tuple, List[int]] = {}
+    for i, p in enumerate(patterns):
+        stats = tuple((lv.mean, lv.norm, lv.inv_area, lv.result_equal1)
+                      for lv in p.levels)
+        key = (tuple(p.shapes), _stats_key(stats), p.border_color)
+        groups.setdefault(key, []).append(i)
+
+    results: List[Optional[Dict[str, np.ndarray]]] = [None] * len(patterns)
+    src_dev = src if isinstance(src, jnp.ndarray) else jnp.asarray(
+        np.asarray(src), jnp.float32)
+    if src_dev.ndim == 3:
+        src_dev = src_dev[..., 0]
+    if src_dev.dtype != jnp.float32:
+        src_dev = src_dev.astype(jnp.float32)
+
+    for (shapes, ekey, border), idxs in groups.items():
+        rep = patterns[idxs[0]]
+        plan = _make_plan(src_dev.shape, rep, cfg)
+        n_levels = len(rep.levels)
+        templs_stk = tuple(
+            jnp.stack([jnp.asarray(patterns[i].levels[l].templ)
+                       for i in idxs])
+            for l in range(n_levels))
+        stats_stk = jnp.asarray(
+            [[[lv.mean, lv.norm, lv.inv_area] for lv in patterns[i].levels]
+             for i in idxs], jnp.float32)
+        fn = _compiled_glyphs(plan, ekey, len(idxs))
+        packed = np.asarray(fn(src_dev, templs_stk, stats_stk,
+                               *_plan_device_arrays(plan)))
+        for k, i in enumerate(idxs):
+            out = _unpack_result(packed[k])
+            if out.pop("nms_overflow", False) and plan.nms_cap < plan.c_max:
+                out = match_arrays(np.asarray(src_dev), patterns[i], cfg)
+                out.pop("nms_overflow", None)
+            results[i] = out
+    return results

@@ -17,7 +17,6 @@ import numpy as np
 
 from ..config import MatchConfig
 from ..types import LearnedPattern, MatchResult
-from .template_matcher import match as match_single
 
 
 @dataclasses.dataclass
@@ -36,21 +35,18 @@ def inspect_corpus(
 ) -> Iterator[FrameReport]:
     """Yield a FrameReport per frame, in order.
 
-    With a mesh, equal-shaped frames are grouped into batches of
-    batch_size and dispatched through the sharded matcher; otherwise each
-    frame runs through the single-image program (still compiled once per
-    shape).
+    Equal-shaped frames are grouped into batches of batch_size and run
+    through ONE compiled dispatch per batch — the sharded matcher when a
+    mesh is given, the single-chip batched program (models.batch) when
+    not. Each distinct frame shape costs one compile; odd-shaped stragglers
+    simply form their own (smaller) batches.
     """
     cfg = cfg or MatchConfig()
 
-    if mesh is None:
-        for i, frame in enumerate(frames):
-            t0 = time.perf_counter()
-            res = match_single(frame, pattern, cfg)
-            yield FrameReport(i, res, (time.perf_counter() - t0) * 1000)
-        return
+    if mesh is not None:
+        from ..parallel.matcher import match_batch_sharded
 
-    from ..parallel.matcher import match_batch_sharded
+    from .batch import _next_bucket, match_many_arrays
 
     buf: List[np.ndarray] = []
     idx: List[int] = []
@@ -60,7 +56,14 @@ def inspect_corpus(
         if not buf:
             return
         t0 = time.perf_counter()
-        out = match_batch_sharded(np.stack(buf), pattern, cfg, mesh)
+        if mesh is not None:
+            out = match_batch_sharded(np.stack(buf), pattern, cfg, mesh)
+        else:
+            # Straggler batches compile for their own (smaller) bucket
+            # instead of padding up to batch_size-worth of dead compute.
+            out = match_many_arrays(
+                np.stack(buf), pattern, cfg,
+                batch_bucket=min(batch_size, _next_bucket(len(buf))))
         ms = (time.perf_counter() - t0) * 1000 / len(buf)
         for k, i in enumerate(idx):
             results = []

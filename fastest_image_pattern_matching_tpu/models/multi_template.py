@@ -57,15 +57,35 @@ class MultiTemplateMatcher:
             except ValueError:
                 continue
 
-    def match_all(self, src: np.ndarray,
-                  cross_nms: bool = False) -> List[LabeledMatch]:
-        out: List[LabeledMatch] = []
+    def match_all(self, src: np.ndarray, cross_nms: bool = False,
+                  batched: bool = True) -> List[LabeledMatch]:
+        """batched=True (default) runs same-shaped glyph patterns through
+        one compiled dispatch per shape group with the source pyramid
+        hoisted (models.batch.match_patterns) — the TPU answer to the
+        reference's 36-dispatch glyph loop. batched=False keeps the
+        per-glyph path for A/B."""
+        labels, pats = [], []
         for label, pat in self.patterns.items():
-            try:
-                results = match(src, pat, self.config)
-            except ValueError:
-                continue  # template larger than source etc.
-            out.extend(LabeledMatch(label, r) for r in results)
+            t0 = pat.levels[0].templ
+            if t0.shape[0] * t0.shape[1] > src.shape[0] * src.shape[1]:
+                continue  # template larger than source
+            labels.append(label)
+            pats.append(pat)
+        out: List[LabeledMatch] = []
+        if batched and pats:
+            from .batch import _results_from_arrays, match_patterns
+            arrs = match_patterns(src, pats, self.config)
+            for label, pat, arr in zip(labels, pats, arrs):
+                batched_out = {k: v[None] for k, v in arr.items()}
+                out.extend(LabeledMatch(label, r) for r in
+                           _results_from_arrays(batched_out, 0, pat))
+        else:
+            for label, pat in zip(labels, pats):
+                try:
+                    results = match(src, pat, self.config)
+                except ValueError:
+                    continue
+                out.extend(LabeledMatch(label, r) for r in results)
         out.sort(key=lambda m: -m.result.score)
         if cross_nms and out:
             out = self._cross_nms(out)

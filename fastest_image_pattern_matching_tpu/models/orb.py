@@ -215,8 +215,10 @@ def detect_and_describe(img: np.ndarray, cfg: ORBConfig):
 
     Returns (pts [N,2] in level-0 coords, desc ±1 [N,256], valid [N]).
     Fixed N = cfg.max_features; invalid slots are masked.
+    Trace-compatible: may be called on a traced image inside jit (the ORB
+    bench jits whole pipeline prefixes, tools/orb_bench.py).
     """
-    img_j = jnp.asarray(np.asarray(img), jnp.float32)
+    img_j = jnp.asarray(img, jnp.float32)
     n = cfg.n_levels
     # Geometric per-level feature budget like OpenCV ORB.
     factor = 1.0 / cfg.scale_factor

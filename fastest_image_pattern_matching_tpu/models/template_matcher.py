@@ -404,9 +404,7 @@ def build_stages(plan: _Plan, stats):
         """Top-layer candidate dump (the m_bDebugMode analogue,
         MatchToolDlg.cpp:897-931): every extracted+thresholded sweep peak
         as [C, 5] = (x, y at level-0 scale, angle deg, score, alive)."""
-        if cfg.bitwise_not:
-            src = 255.0 - src
-        pyr = build_pyramid(src, top)
+        pyr = build_pyramid(prep_src(src), top)
         vals, locs = sweep_maps(pyr[top], templs[top], inv_mats, valid_wh)
         pt, ang, score, alive = select_candidates(vals, locs, trans,
                                                   angles_arr)
@@ -510,16 +508,30 @@ def build_stages(plan: _Plan, stats):
         return dict(score=r_score, angle=out_ang, corners=corners,
                     center=center, valid=r_ok, nms_overflow=overflow)
 
-    def match_fn(src, templs, inv_mats, trans, valid_wh, angles_arr):
+    def prep_src(src):
+        """Input normalization shared by every entry point: u8-contract
+        clip (device inputs can't be validated host-side) + bitwise-not."""
+        if eff_dtype == "int8":
+            src = jnp.clip(src, 0.0, 255.0)
         if cfg.bitwise_not:
             src = 255.0 - src
-        pyr = build_pyramid(src, top)
+        return src
+
+    def match_from_pyr(pyr, templs, inv_mats, trans, valid_wh, angles_arr):
+        """Full match given an already-built source pyramid — the shared
+        core of match_fn and the glyph-batched program (models/batch.py),
+        which hoists the pyramid out of its per-template loop."""
         vals, locs = sweep_maps(pyr[top], templs[top], inv_mats, valid_wh)
         pt, ang, score, alive = select_candidates(vals, locs, trans,
                                                   angles_arr)
         final_pt, final_ang, score, alive = descend(pyr, templs, pt, ang,
                                                     score, alive)
         return finalize(final_pt, final_ang, score, alive)
+
+    def match_fn(src, templs, inv_mats, trans, valid_wh, angles_arr):
+        pyr = build_pyramid(prep_src(src), top)
+        return match_from_pyr(pyr, templs, inv_mats, trans, valid_wh,
+                              angles_arr)
 
     class _Stages:
         pass
@@ -538,9 +550,7 @@ def build_stages(plan: _Plan, stats):
     def phase_a(src, templs, inv_mats, trans, valid_wh, angles_arr):
         """Pyramid + sweep + cheap upper descent; returns carry state and
         the pyramid levels still needed by phase B."""
-        if cfg.bitwise_not:
-            src = 255.0 - src
-        pyr = build_pyramid(src, top)
+        pyr = build_pyramid(prep_src(src), top)
         vals, locs = sweep_maps(pyr[top], templs[top], inv_mats, valid_wh)
         pt, ang, score, alive = select_candidates(vals, locs, trans,
                                                   angles_arr)
@@ -568,6 +578,8 @@ def build_stages(plan: _Plan, stats):
     st.unrotate = unrotate
     st.descend = descend
     st.finalize = finalize
+    st.prep_src = prep_src
+    st.match_from_pyr = match_from_pyr
     st.match_fn = match_fn
     st.debug_candidates = debug_candidates
     st.split = split
@@ -768,6 +780,18 @@ def _prepare(src, pattern: LearnedPattern, cfg: MatchConfig):
         src = np.asarray(src)
     if src.ndim == 3:
         src = src[..., 0]
+    # u8-value contract (the reference operates on 8-bit images throughout;
+    # our int8 MXU path additionally relies on it for exactness). Host
+    # arrays that are not already uint8 are validated loudly; device-
+    # resident arrays can't be checked without a readback — the compiled
+    # program clips them instead (see build_stages), so out-of-contract
+    # device inputs degrade to defined clipping, never int8 wraparound.
+    if isinstance(src, np.ndarray) and src.dtype != np.uint8:
+        lo, hi = float(src.min()), float(src.max())
+        if lo < 0.0 or hi > 255.0:
+            raise ValueError(
+                f"source values must lie in [0, 255] (8-bit contract, "
+                f"got range [{lo}, {hi}]); rescale 16-bit imagery first")
     # Guards per Match() (MatchToolDlg.cpp:774-781).
     t0 = pattern.levels[0].templ
     if (t0.shape[0] > src.shape[0] and t0.shape[1] < src.shape[1]) or \

@@ -94,9 +94,11 @@ def ccorr_shiftmm(
     Ho, Wo = H - h + 1, W - w + 1
     # int8 (2x MXU rate) requires integer-valued inputs (caller opts in
     # via compute_dtype="int8") and an overflow-free int32 accumulator:
-    # the contraction runs over the full H*W ROI (the shifted copies are
-    # zero outside the template), so the bound is H*W * 128 * 128.
-    if compute_dtype == "int8" and H * W * 128 * 128 < 2**31:
+    # the contraction runs over the full H*W ROI but the shifted copies
+    # are zero outside the h*w template support, so only h*w products are
+    # nonzero — the tight accumulator bound is h*w * 128 * 128 (matching
+    # ccorr_banded; keeps the 2x int8 rate on large refinement ROIs).
+    if compute_dtype == "int8" and h * w * 128 * 128 < 2**31:
         tc = templ_c.astype(jnp.int8)
         rc = canvases_c.astype(jnp.int8)
         acc = jnp.int32

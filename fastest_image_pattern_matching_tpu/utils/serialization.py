@@ -75,3 +75,62 @@ def save_roi_dumps(directory: str, src: np.ndarray,
         save_gray(p, src[y0:y1, x0:x1])
         paths.append(p)
     return paths
+
+
+def save_orb_result(path: str, result) -> bool:
+    """ORB result persistence with the reference's exact cv::FileStorage
+    field set (ORBFeatureMatcher.cpp:420-441: matchLocation_x/y,
+    matchScore, rotationAngle, scale, isMatched, goodMatchesCount) —
+    written through cv2.FileStorage when the path ends in .yml/.yaml/.xml
+    (byte-level interchange with OpenCV-based systems), JSON otherwise.
+
+    matchLocation is the projected-corner centroid; matchScore the
+    inlier ratio (the reference leaves both fields' computation commented
+    out, :188-190 — these are the natural definitions from its data).
+    """
+    if not result.is_matched:
+        return False  # the reference refuses unmatched results (:422)
+    loc = ([float(np.mean(result.corners[:, 0])),
+            float(np.mean(result.corners[:, 1]))]
+           if result.corners is not None else [0.0, 0.0])
+    score = (result.num_inliers / max(result.num_good_matches, 1))
+    fields = {
+        "matchLocation_x": loc[0],
+        "matchLocation_y": loc[1],
+        "matchScore": float(score),
+        "rotationAngle": float(result.rotation_angle),
+        "scale": float(result.scale_mm_per_pix),
+        "isMatched": 1,
+        "goodMatchesCount": int(result.num_good_matches),
+    }
+    if path.endswith((".yml", ".yaml", ".xml")):
+        import cv2
+        fs = cv2.FileStorage(path, cv2.FILE_STORAGE_WRITE)
+        if not fs.isOpened():
+            return False
+        for k, v in fields.items():
+            fs.write(k, v)
+        fs.release()
+        return True
+    with open(path, "w") as f:
+        json.dump(fields, f, indent=1)
+    return True
+
+
+def load_orb_result(path: str) -> dict:
+    """Load a saved ORB record (cv2.FileStorage yaml/xml or JSON) back
+    into a plain dict of the reference's field set."""
+    keys = ["matchLocation_x", "matchLocation_y", "matchScore",
+            "rotationAngle", "scale", "isMatched", "goodMatchesCount"]
+    if path.endswith((".yml", ".yaml", ".xml")):
+        import cv2
+        fs = cv2.FileStorage(path, cv2.FILE_STORAGE_READ)
+        out = {k: fs.getNode(k).real() for k in keys}
+        fs.release()
+        out["isMatched"] = bool(out["isMatched"])
+        out["goodMatchesCount"] = int(out["goodMatchesCount"])
+        return out
+    with open(path) as f:
+        out = json.load(f)
+    out["isMatched"] = bool(out["isMatched"])
+    return out

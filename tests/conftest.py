@@ -24,3 +24,19 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    The suite compiles hundreds of XLA programs (every (shape, config)
+    pair across 20+ modules); keeping them all live exhausts per-process
+    memory mappings (vm.max_map_count 65530 here) and aborts the XLA
+    compiler late in the run — reproducibly at ~test 126, while the same
+    module passes standalone. Bounding live programs to one module's
+    worth keeps the full run well under the limit; jitted functions
+    retrace transparently on next use.
+    """
+    yield
+    jax.clear_caches()

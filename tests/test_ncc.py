@@ -139,3 +139,146 @@ def test_ncc_shiftmm_matches_conv(rng):
         jnp.asarray(src, jnp.float32), jnp.asarray(templ, jnp.float32),
         mean, norm, inv_area, False, "bf16", method="auto"))
     np.testing.assert_allclose(c, a, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Banded-Toeplitz backend (the Test6/Test7 many-target regime; previously
+# validated only in TPU job logs — these are the committed CPU twins).
+# ---------------------------------------------------------------------------
+
+def test_ncc_banded_matches_conv_small(rng):
+    """Direct banded == conv parity on a small map (below the auto gate)."""
+    from fastest_image_pattern_matching_tpu.ops.ncc import (ccorr_banded,
+                                                            ccorr_conv)
+    src = rng.integers(0, 256, size=(3, 60, 72), dtype=np.uint8)
+    templ = rng.integers(0, 256, size=(11, 14), dtype=np.uint8)
+    sc = jnp.asarray(src, jnp.float32) - 128.0
+    tc = jnp.asarray(templ, jnp.float32) - 128.0
+    for dt in ("f32", "bf16", "int8"):
+        a = np.asarray(ccorr_banded(sc, tc, dt))
+        b = np.asarray(ccorr_conv(sc, tc, "f32"))
+        # integer-valued inputs: bf16/int8 banded are exact
+        np.testing.assert_allclose(a, b, atol=1e-2, rtol=0)
+        if dt in ("bf16", "int8"):
+            np.testing.assert_array_equal(a, np.asarray(
+                ccorr_banded(sc, tc, "f32")))
+
+
+def test_ncc_banded_above_auto_gate(rng):
+    """Shape above the Ho*Wo>65536 auto gate: 'auto' must route to banded
+    and match cv2. Dispatch is asserted by monkeypatching the backend."""
+    from fastest_image_pattern_matching_tpu.ops import ncc as ncc_mod
+    H, W, h, w = 280, 300, 12, 16   # Ho*Wo = 269*285 = 76665 > 65536
+    src = rng.integers(0, 256, size=(H, W), dtype=np.uint8)
+    templ = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    mean, norm, inv_area = _stats(templ)
+    calls = []
+    orig = ncc_mod.ccorr_banded
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    ncc_mod.ccorr_banded = spy
+    try:
+        got = np.asarray(ncc_mod.ncc_score_map(
+            jnp.asarray(src, jnp.float32)[None],
+            jnp.asarray(templ, jnp.float32),
+            mean, norm, inv_area, False, "bf16", method="auto"))[0]
+    finally:
+        ncc_mod.ccorr_banded = orig
+    assert calls, "auto did not select the banded backend above the gate"
+    ref = cv2.matchTemplate(src, templ, cv2.TM_CCOEFF_NORMED)
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_ncc_banded_below_auto_gate_not_selected(rng):
+    """Below the Ho*Wo gate, auto must NOT pick banded (conv/fft wins)."""
+    from fastest_image_pattern_matching_tpu.ops import ncc as ncc_mod
+    src = rng.integers(0, 256, size=(100, 120), dtype=np.uint8)  # Ho*Wo small
+    templ = rng.integers(0, 256, size=(12, 16), dtype=np.uint8)
+    mean, norm, inv_area = _stats(templ)
+    calls = []
+    orig = ncc_mod.ccorr_banded
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    ncc_mod.ccorr_banded = spy
+    try:
+        got = np.asarray(ncc_mod.ncc_score_map(
+            jnp.asarray(src, jnp.float32)[None],
+            jnp.asarray(templ, jnp.float32),
+            mean, norm, inv_area, False, "bf16", method="auto"))[0]
+    finally:
+        ncc_mod.ccorr_banded = orig
+    assert not calls
+    ref = cv2.matchTemplate(src, templ, cv2.TM_CCOEFF_NORMED)
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_ncc_banded_budget_gate_fallback(rng):
+    """With the band HBM budget shrunk below eligibility, auto must fall
+    through to another backend and stay correct."""
+    from fastest_image_pattern_matching_tpu.ops import ncc as ncc_mod
+    H, W, h, w = 280, 300, 12, 16
+    src = rng.integers(0, 256, size=(H, W), dtype=np.uint8)
+    templ = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    mean, norm, inv_area = _stats(templ)
+    calls = []
+    orig_budget = ncc_mod._BANDED_BUDGET_ELEMS
+    orig = ncc_mod.ccorr_banded
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    ncc_mod.ccorr_banded = spy
+    ncc_mod._BANDED_BUDGET_ELEMS = 16
+    try:
+        got = np.asarray(ncc_mod.ncc_score_map(
+            jnp.asarray(src, jnp.float32)[None],
+            jnp.asarray(templ, jnp.float32),
+            mean, norm, inv_area, False, "bf16", method="auto"))[0]
+    finally:
+        ncc_mod._BANDED_BUDGET_ELEMS = orig_budget
+        ncc_mod.ccorr_banded = orig
+    assert not calls, "banded selected past its band-memory budget"
+    ref = cv2.matchTemplate(src, templ, cv2.TM_CCOEFF_NORMED)
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_ncc_banded_int8_accumulator_gate(rng):
+    """int8 banded past the h*w*128^2 int32 bound must fall back to bf16
+    inside ccorr_banded (same API, still exact for integer inputs)."""
+    from fastest_image_pattern_matching_tpu.ops.ncc import (ccorr_banded,
+                                                            ccorr_conv)
+    # h*w = 368*368 > 2^31/128^2 = 131072 -> int8 ineligible
+    h = w = 368
+    src = rng.integers(0, 256, size=(1, h + 8, w + 8), dtype=np.uint8)
+    templ = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    sc = jnp.asarray(src, jnp.float32) - 128.0
+    tc = jnp.asarray(templ, jnp.float32) - 128.0
+    a = np.asarray(ccorr_banded(sc, tc, "int8"))
+    b = np.asarray(ccorr_conv(sc, tc, "f32"))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_ncc_shiftmm_int8_large_roi(rng):
+    """ADVICE r2: the shiftmm int8 bound is h*w (padded shifted entries
+    contribute zero products) — a large ROI whose H*W exceeds the old
+    bound but whose h*w does not must stay int8-exact."""
+    from fastest_image_pattern_matching_tpu.ops.ncc import (ccorr_conv,
+                                                            ccorr_shiftmm)
+    # h*w = 320*360 = 115200 < 131072;  H*W = 326*366 = 119316... both under
+    # -> also test h*w just below with H*W just above 131072:
+    h, w = 350, 374   # h*w = 130900 < 131072
+    H, W = 356, 380   # H*W = 135280 > 131072 (old bound would reject)
+    src = rng.integers(0, 256, size=(1, H, W), dtype=np.uint8)
+    templ = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    sc = jnp.asarray(src, jnp.float32) - 128.0
+    tc = jnp.asarray(templ, jnp.float32) - 128.0
+    a = np.asarray(ccorr_shiftmm(sc, tc, "int8"))
+    b = np.asarray(ccorr_conv(sc, tc, "f32"))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
