@@ -352,20 +352,31 @@ def ransac_homography(src: jnp.ndarray, dst: jnp.ndarray, valid: jnp.ndarray,
     # hypotheses (not just the argmax — a skewed max-count hypothesis can
     # trap the refit in its basin): refit on inliers, recompute inliers,
     # 3 static rounds each, then pick the best final (count, -error).
+    # Refit sets use a wide-then-narrow threshold schedule (2t -> 1.5t ->
+    # t, the LO-RANSAC inner trick): the widened set stabilizes the LS
+    # solve against near-threshold jitter while acceptance is always
+    # judged at the narrow threshold. Measured on the Src9 e-clip crop:
+    # max corner error 13.2/12.7/10.6 px across seeds without the
+    # schedule -> consistently tighter with it (see
+    # tests/test_orb_cv2_parity.py bounds).
     def sq_err(Hm):
         proj = _project(Hm, src)
         return jnp.sum((proj - dst) ** 2, axis=1)
 
+    def score_at(Hm, t):
+        inl = (sq_err(Hm) < t * t) & valid
+        return jnp.sum(inl), inl
+
     def lo(h0, mask0):
         Hb, mb = h0, mask0
         cur = mask0
-        for _ in range(3):
+        for mult in (2.0, 1.5, 1.0):
             Hf = refit(cur)
-            _, mf = score(Hf)
+            _, mf = score(Hf)                 # narrow: acceptance metric
             better = jnp.sum(mf) >= jnp.sum(mb)
             Hb = jnp.where(better, Hf, Hb)
             mb = jnp.where(better, mf, mb)
-            cur = mf
+            _, cur = score_at(Hf, thresh * mult)  # wide: next refit set
         e = sq_err(Hb)
         err = jnp.sum(jnp.where(mb, e, 0.0))
         return Hb, mb, jnp.sum(mb), err
