@@ -389,11 +389,38 @@ def ransac_homography(src: jnp.ndarray, dst: jnp.ndarray, valid: jnp.ndarray,
     return H_lo[pick], m_lo[pick]
 
 
+@functools.lru_cache(maxsize=16)
+def _orb_core(cfg: ORBConfig, seed: int):
+    """The whole device pipeline — detect both images, Hamming match,
+    top-N, batched RANSAC + LO refit — as ONE jitted program per
+    (config, image shapes): a single dispatch per call instead of
+    hundreds of eager op round trips (the axon tunnel charges ~24 ms
+    each; eager ORB measured minutes per call through it)."""
+    def fn(source, template):
+        ps, ds, vs = detect_and_describe(source, cfg)
+        pt, dt, vt = detect_and_describe(template, cfg)
+        ti, dist = hamming_match(ds, vs, dt, vt)
+        n_finite = jnp.sum(jnp.isfinite(dist).astype(jnp.int32))
+        N = min(cfg.max_good_matches, dist.shape[0])
+        neg = jnp.where(jnp.isfinite(dist), -dist, -jnp.inf)
+        _, order = jax.lax.top_k(neg, N)
+        s_pts = ps[order]
+        t_pts = pt[ti[order]]
+        good_valid = jnp.isfinite(dist[order])
+        H, mask = ransac_homography(s_pts, t_pts, good_valid,
+                                    cfg.ransac_threshold, cfg.ransac_iters,
+                                    seed)
+        return H, mask, s_pts, t_pts, good_valid, n_finite
+
+    return jax.jit(fn)
+
+
 def orb_match(source: np.ndarray, template: np.ndarray,
               cfg: Optional[ORBConfig] = None, seed: int = 0,
               physics_shift_mm: float = 8.0) -> ORBResult:
     """Full ORB matching pipeline (performORBMatching parity,
-    ORBFeatureMatcher.cpp:21-201)."""
+    ORBFeatureMatcher.cpp:21-201) — one compiled dispatch + host-side
+    result assembly."""
     cfg = cfg or ORBConfig()
     source = np.asarray(source)
     template = np.asarray(template)
@@ -402,23 +429,11 @@ def orb_match(source: np.ndarray, template: np.ndarray,
     if template.ndim == 3:
         template = template[..., 0]
 
-    ps, ds, vs = detect_and_describe(source, cfg)
-    pt, dt, vt = detect_and_describe(template, cfg)
-
-    ti, dist = hamming_match(ds, vs, dt, vt)
-    if int(np.sum(np.isfinite(np.asarray(dist)))) < 10:  # :66
+    H, mask, s_pts, t_pts, good_valid, n_finite = _orb_core(cfg, seed)(
+        jnp.asarray(source, jnp.float32), jnp.asarray(template, jnp.float32))
+    if int(n_finite) < 10:  # :66
         return ORBResult(False, None, 0, 0, 0.0, None)
-
-    # Top max_good_matches by distance (:76-82).
-    N = min(cfg.max_good_matches, dist.shape[0])
-    neg = jnp.where(jnp.isfinite(dist), -dist, -jnp.inf)
-    _, order = jax.lax.top_k(neg, N)
-    s_pts = ps[order]
-    t_pts = pt[ti[order]]
-    good_valid = jnp.isfinite(dist[order])
-
-    H, mask = ransac_homography(s_pts, t_pts, good_valid,
-                                cfg.ransac_threshold, cfg.ransac_iters, seed)
+    N = s_pts.shape[0]
     mask_np = np.asarray(mask)
     n_inl = int(mask_np.sum())
     if n_inl < 2:  # :156

@@ -1,0 +1,74 @@
+"""Cold-start measurement: per suite config, a FRESH process's first
+match call with a warm persistent compile cache (.jax_cache) — the cost a
+library user pays on first call after deployment prewarm
+(tools/prewarm_cache.py), excluding the one-time device claim.
+
+Each config runs in its own subprocess (true cold process state); the
+device-claim time is measured separately and excluded from the headline
+(it is tunnel overhead in this environment, not library cost). Run AFTER
+prewarming; run LAST among TPU jobs (process churn risks wedging the
+serialized tunnel).
+
+Usage: timeout 3600 python tools/cold_bench.py  -> COLD json on stdout
+"""
+
+import json
+import subprocess
+import sys
+
+CHILD = r'''
+import json, time, sys
+t_imp0 = time.time()
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+import jax.numpy as jnp
+import numpy as np
+t_imp = time.time() - t_imp0
+t_claim0 = time.time()
+v = float((jnp.arange(1024, dtype=jnp.float32) * 2).sum())
+assert abs(v - 1047552.0) < 1
+t_claim = time.time() - t_claim0
+sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tools")
+import cv2
+import fastest_image_pattern_matching_tpu as fipm
+from suite_bench import IMG_DIR, TESTS, _load_scene
+name = sys.argv[1]
+row = [t for t in TESTS if t[0] == name][0]
+_, s, d, kw, _refs, _expect, _note = row
+tpl = cv2.imread(f"{IMG_DIR}/{d}", cv2.IMREAD_GRAYSCALE)
+src = _load_scene(s, tpl)
+cfg = fipm.MatchConfig(**kw)
+pattern = fipm.learn_pattern(tpl, cfg.min_reduce_area)
+src_dev = jnp.asarray(src, jnp.float32)
+float(src_dev[0, 0])
+t0 = time.time()
+res = fipm.match(src_dev, pattern, cfg)
+first_ms = (time.time() - t0) * 1000
+print(json.dumps({"test": name, "import_s": round(t_imp, 1),
+                  "claim_s": round(t_claim, 1),
+                  "first_match_ms": round(first_ms, 1),
+                  "found": len(res)}))
+'''
+
+
+def run_cold(tests=("Test1", "Test2", "Test3", "Test4", "Test5", "Test6",
+                    "Test7"), log=print):
+    rows = []
+    for name in tests:
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", CHILD, name], capture_output=True,
+                text=True, timeout=900, cwd="/root/repo")
+            line = out.stdout.strip().splitlines()[-1]
+            row = json.loads(line)
+        except Exception as e:
+            row = {"test": name, "error": str(e)[:120]}
+        rows.append(row)
+        log(f"cold {name}: {row}")
+    return rows
+
+
+if __name__ == "__main__":
+    print(json.dumps({"cold": run_cold()}, indent=1))
