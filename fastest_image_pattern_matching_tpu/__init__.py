@@ -16,12 +16,14 @@ from .models.template_matcher import (TemplateMatcher, learn_pattern, match,
                                       match_template)
 from .models.batch import (BatchMatcher, match_many, match_many_arrays,
                            match_patterns)
+from .aot import AotMatcher, export_match_pack
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "MatchConfig", "LearnedPattern", "MatchResult",
     "TemplateMatcher", "learn_pattern", "match", "match_arrays",
     "match_candidates", "match_template",
     "BatchMatcher", "match_many", "match_many_arrays", "match_patterns",
+    "AotMatcher", "export_match_pack",
 ]

@@ -1,0 +1,262 @@
+"""AOT-exported match programs — deployment cold-start elimination.
+
+A JIT library pays trace + lower + compile on every fresh process's first
+call (the reference, a desktop C++ app, pays this at build time instead).
+This module freezes the full match pipeline for a (pattern, config,
+source-shape) triple to one portable pack file via `jax.export`:
+
+  * `export_match_pack` — trace/lower once (e.g. on the deployment
+    machine at install time) and serialize the StableHLO program(s),
+    the learned pattern, and the config into a single .npz pack.
+  * `AotMatcher.load` — fresh processes skip Python tracing entirely;
+    with the persistent compile cache warm (tools/prewarm_cache.py),
+    the first match pays only cache deserialization.
+
+The pack also carries the batched serving programs (match_many buckets)
+so a server restart reaches its steady-state latency on the first batch.
+(Reference analogue: QSettings persists the UI's parameters across runs,
+src/MatchToolDialog.cpp:495-561 — here the persisted artifact is the
+compiled pipeline itself, the part a TPU library actually needs.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import MatchConfig
+from .types import LearnedPattern, MatchResult
+from .models import template_matcher as _tm
+from .models import batch as _batch
+
+_FORMAT_VERSION = 1
+
+
+def _cfg_to_json(cfg: MatchConfig) -> str:
+    d = dataclasses.asdict(cfg)
+    return json.dumps(d)
+
+
+def _cfg_from_json(s: str) -> MatchConfig:
+    d = json.loads(s)
+    if d.get("tolerance_ranges") is not None:
+        d["tolerance_ranges"] = tuple(d["tolerance_ranges"])
+    return MatchConfig(**d)
+
+
+def _export_fn(fn, args) -> bytes:
+    from jax import export as jexport
+    return jexport.export(fn)(*args).serialize()
+
+
+def export_match_pack(path: str, pattern: LearnedPattern, cfg: MatchConfig,
+                      src_shape: Tuple[int, int],
+                      batch_sizes: Sequence[int] = (),
+                      log=None) -> Dict[str, float]:
+    """Export the compiled match program(s) for one deployment config.
+
+    src_shape: (H, W) of the inspection frames this pack serves.
+    batch_sizes: additional match_many bucket sizes to export (each is
+    one more program; a server typically wants its steady batch, e.g. 8).
+
+    Returns per-program export seconds (diagnostics).
+    """
+    src_shape = (int(src_shape[0]), int(src_shape[1]))
+    dummy = jax.ShapeDtypeStruct(src_shape, jnp.float32)
+    plan, ekey, args = _prepare_abstract(pattern, cfg, src_shape)
+    import time
+    timings: Dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    blob_capped = _export_fn(_tm._compiled(_tm._shared_plan(plan), ekey),
+                             (dummy,) + args[1:])
+    timings["single"] = time.perf_counter() - t0
+
+    blob_uncapped = None
+    if plan.nms_cap < plan.c_max:
+        plan_full = dataclasses.replace(plan, nms_cap=plan.c_max)
+        t0 = time.perf_counter()
+        blob_uncapped = _export_fn(
+            _tm._compiled(_tm._shared_plan(plan_full), ekey),
+            (dummy,) + args[1:])
+        timings["single_uncapped"] = time.perf_counter() - t0
+
+    batch_blobs = {}
+    for b in sorted(set(int(b) for b in batch_sizes)):
+        dummy_b = jax.ShapeDtypeStruct((b,) + src_shape, jnp.float32)
+        t0 = time.perf_counter()
+        batch_blobs[b] = _export_fn(
+            _batch._compiled_batch(_tm._shared_plan(plan), ekey, b),
+            (dummy_b,) + args[1:])
+        timings[f"batch_{b}"] = time.perf_counter() - t0
+
+    pat_buf = io.BytesIO()
+    pattern.save(pat_buf)
+    arrs = {
+        "format_version": np.int64(_FORMAT_VERSION),
+        "jax_version": np.frombuffer(jax.__version__.encode(), np.uint8),
+        "platforms": np.frombuffer(
+            json.dumps(_platforms_of(blob_capped)).encode(), np.uint8),
+        "cfg_json": np.frombuffer(_cfg_to_json(cfg).encode(), np.uint8),
+        "src_shape": np.asarray(src_shape, np.int64),
+        "pattern_npz": np.frombuffer(pat_buf.getvalue(), np.uint8),
+        "exp_single": np.frombuffer(blob_capped, np.uint8),
+    }
+    if blob_uncapped is not None:
+        arrs["exp_single_uncapped"] = np.frombuffer(blob_uncapped, np.uint8)
+    for b, blob in batch_blobs.items():
+        arrs[f"exp_batch_{b}"] = np.frombuffer(blob, np.uint8)
+    with open(path, "wb") as f:
+        np.savez(f, **arrs)
+    if log:
+        log(f"pack {path}: {sum(len(v) for v in arrs.values())/1e6:.2f} MB, "
+            f"programs={1 + (blob_uncapped is not None) + len(batch_blobs)}")
+    return timings
+
+
+def _platforms_of(blob: bytes) -> List[str]:
+    from jax import export as jexport
+    return list(jexport.deserialize(blob).platforms)
+
+
+def _prepare_abstract(pattern: LearnedPattern, cfg: MatchConfig, src_shape):
+    """The _prepare arg construction for a shape-only source."""
+    plan = _tm._make_plan(src_shape, pattern, cfg)
+    stats = tuple((lv.mean, lv.norm, lv.inv_area, lv.result_equal1)
+                  for lv in pattern.levels)
+    templs = _tm._get_pattern_dev(pattern)
+    tstats = _tm._traced_stats_tuple(stats)
+    ekey = _tm._stats_key(stats)
+    args = (None, templs, tstats) + _tm._plan_device_arrays(plan) \
+        + (_tm._thr_dev(plan.layer_scores),)
+    return plan, ekey, args
+
+
+class AotMatcher:
+    """A match pipeline loaded from an exported pack — no tracing.
+
+    Usage:
+        m = AotMatcher.load("line3.fipm-aot.npz")
+        results = m.match(frame)              # [H, W] u8/f32
+        batches = m.match_many(frames)        # [B, H, W], exported buckets
+    """
+
+    def __init__(self, pattern: LearnedPattern, cfg: MatchConfig,
+                 src_shape: Tuple[int, int], fns: Dict[str, object],
+                 platforms: List[str]):
+        self.pattern = pattern
+        self.config = cfg
+        self.src_shape = src_shape
+        self.platforms = platforms
+        self._fns = fns  # name -> jitted exported call
+        self._args_tail = None  # cached (templs, tstats, plan arrays)
+
+    @classmethod
+    def load(cls, path: str) -> "AotMatcher":
+        from jax import export as jexport
+        data = np.load(path)
+        ver = int(data["format_version"])
+        if ver != _FORMAT_VERSION:
+            raise ValueError(f"unsupported pack version {ver}")
+        cfg = _cfg_from_json(bytes(data["cfg_json"]).decode())
+        src_shape = tuple(int(v) for v in data["src_shape"])
+        pattern = LearnedPattern.load(io.BytesIO(bytes(data["pattern_npz"])))
+        platforms = json.loads(bytes(data["platforms"]).decode())
+        backend = jax.default_backend()
+        # axon (the tunnelled TPU plugin) lowers as 'tpu'.
+        norm = {"axon": "tpu"}.get(backend, backend)
+        if norm not in platforms:
+            raise ValueError(
+                f"pack was exported for {platforms}, current backend is "
+                f"{backend!r} — re-export on this platform")
+        fns = {}
+        for key in data.files:
+            if key.startswith("exp_"):
+                exp = jexport.deserialize(bytes(data[key]))
+                fns[key[4:]] = jax.jit(exp.call)
+        return cls(pattern, cfg, src_shape, fns, platforms)
+
+    @property
+    def batch_sizes(self) -> List[int]:
+        return sorted(int(k.split("_")[1]) for k in self._fns
+                      if k.startswith("batch_"))
+
+    def _tail(self):
+        if self._args_tail is None:
+            _plan, _ekey, args = _prepare_abstract(
+                self.pattern, self.config, self.src_shape)
+            self._args_tail = args[1:]
+        return self._args_tail
+
+    def _to_device(self, src, batched: bool = False) -> jnp.ndarray:
+        if not isinstance(src, jnp.ndarray):
+            src = np.asarray(src)
+            if src.ndim == 3 + batched:  # trailing channel axis
+                src = src[..., 0]
+            if src.dtype != np.uint8:
+                lo, hi = float(src.min()), float(src.max())
+                if lo < 0.0 or hi > 255.0:
+                    raise ValueError(
+                        f"source values must lie in [0, 255], got "
+                        f"[{lo}, {hi}]")
+            src = jnp.asarray(src, jnp.float32)
+        if src.dtype != jnp.float32:
+            src = src.astype(jnp.float32)
+        return src
+
+    def match_arrays(self, src) -> Dict[str, np.ndarray]:
+        src = self._to_device(src)
+        if tuple(src.shape) != self.src_shape:
+            raise ValueError(f"pack serves frames of shape {self.src_shape},"
+                             f" got {tuple(src.shape)}")
+        out = _tm._unpack_result(self._fns["single"](src, *self._tail()))
+        if out.pop("nms_overflow", False):
+            fn2 = self._fns.get("single_uncapped")
+            if fn2 is not None:
+                out = _tm._unpack_result(fn2(src, *self._tail()))
+                out.pop("nms_overflow", None)
+            else:
+                # No uncapped program in the pack (cap == candidate count
+                # at export time): fall back to the traced path.
+                out = _tm.match_arrays(src, self.pattern, self.config)
+                out.pop("nms_overflow", None)
+        return out
+
+    def match(self, src) -> List[MatchResult]:
+        out = self.match_arrays(src)
+        wrapped = {k: v[None] for k, v in out.items()}
+        return _batch._results_from_arrays(wrapped, 0, self.pattern)
+
+    def match_many(self, srcs) -> List[List[MatchResult]]:
+        srcs = self._to_device(srcs, batched=True)
+        if srcs.ndim != 3 or tuple(srcs.shape[1:]) != self.src_shape:
+            raise ValueError(
+                f"srcs must be [B, {self.src_shape[0]}, {self.src_shape[1]}]"
+                f", got {tuple(srcs.shape)}")
+        B = srcs.shape[0]
+        buckets = [b for b in self.batch_sizes if b >= B]
+        if not buckets:
+            raise ValueError(
+                f"no exported batch program fits B={B} "
+                f"(exported buckets: {self.batch_sizes})")
+        b = buckets[0]
+        if b > B:
+            srcs = jnp.pad(srcs, ((0, b - B), (0, 0), (0, 0)))
+        packed = np.asarray(self._fns[f"batch_{b}"](srcs, *self._tail()))
+        results = []
+        for i in range(B):
+            out = _tm._unpack_result(packed[i])
+            if out.pop("nms_overflow", False):
+                out = self.match_arrays(srcs[i])
+            else:
+                out.pop("nms_overflow", None)
+            wrapped = {k: v[None] for k, v in out.items()}
+            results.append(_batch._results_from_arrays(wrapped, 0,
+                                                       self.pattern))
+        return results

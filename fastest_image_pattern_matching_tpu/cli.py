@@ -72,6 +72,29 @@ def build_parser() -> argparse.ArgumentParser:
 
     b = sub.add_parser("bench", help="run the benchmark harness")
 
+    ae = sub.add_parser("aot-export", help="export a compiled match "
+                        "pipeline to a pack file (deployment prewarm: "
+                        "fresh processes skip tracing)")
+    ae.add_argument("-t", "--template", required=True)
+    ae.add_argument("-o", "--out", required=True, help="pack path (.npz)")
+    ae.add_argument("--source-shape", type=int, nargs=2, required=True,
+                    metavar=("H", "W"), help="inspection frame shape")
+    ae.add_argument("--batch-sizes", type=int, nargs="*", default=[],
+                    help="also export match_many programs for these "
+                    "batch buckets")
+    ae.add_argument("--max-pos", type=int, default=70)
+    ae.add_argument("--max-overlap", type=float, default=0.1)
+    ae.add_argument("--score", type=float, default=0.7)
+    ae.add_argument("--tolerance-angle", type=float, default=180.0)
+    ae.add_argument("--min-reduce-area", type=int, default=256)
+    ae.add_argument("--roi", type=int, nargs=4, metavar=("X", "Y", "W", "H"),
+                    default=None)
+
+    am = sub.add_parser("aot-match", help="match using an exported pack")
+    am.add_argument("-p", "--pack", required=True)
+    am.add_argument("-s", "--source", required=True)
+    am.add_argument("--json", action="store_true")
+
     w = sub.add_parser("watch", help="live inspection: poll a directory "
                        "for new images and match each (camera-loop analogue)")
     w.add_argument("-t", "--template", required=True)
@@ -243,6 +266,53 @@ def _cmd_orb(args) -> int:
     return 0
 
 
+def _cmd_aot_export(args) -> int:
+    from . import MatchConfig, export_match_pack, learn_pattern
+    from .utils.imageio import load_gray
+
+    tpl = load_gray(args.template)
+    cfg = MatchConfig(max_pos=args.max_pos, max_overlap=args.max_overlap,
+                      score=args.score, tolerance_angle=args.tolerance_angle,
+                      min_reduce_area=args.min_reduce_area)
+    pattern = learn_pattern(tpl, cfg.min_reduce_area,
+                            roi=tuple(args.roi) if args.roi else None)
+    t0 = time.perf_counter()
+    timings = export_match_pack(args.out, pattern, cfg,
+                                tuple(args.source_shape),
+                                batch_sizes=args.batch_sizes)
+    dt = time.perf_counter() - t0
+    print(f"exported {args.out} in {dt:.1f}s "
+          f"({', '.join(f'{k} {v:.1f}s' for k, v in timings.items())})")
+    return 0
+
+
+def _cmd_aot_match(args) -> int:
+    from . import AotMatcher
+    from .utils.imageio import load_gray
+
+    m = AotMatcher.load(args.pack)
+    src = load_gray(args.source)
+    t0 = time.perf_counter()
+    results = m.match(src)
+    dt = (time.perf_counter() - t0) * 1000
+    if args.json:
+        print(json.dumps({
+            "execution_ms": round(dt, 2), "count": len(results),
+            "matches": [{
+                "index": i, "score": r.score, "angle": r.angle,
+                "pos_x": r.pos_x, "pos_y": r.pos_y,
+            } for i, r in enumerate(results)],
+        }))
+    else:
+        print(f"Execution time: {dt:.1f} ms (no tracing; compile served "
+              f"from the persistent cache when warm)")
+        print(f"Total number: {len(results)}")
+        for i, r in enumerate(results):
+            print(f"{i:>5} {r.score:>8.3f} {r.angle:>10.3f} "
+                  f"{r.pos_x:>10.3f} {r.pos_y:>10.3f}")
+    return 0
+
+
 def _cmd_watch(args) -> int:
     """Poll a directory for new images, match each as it appears — the
     headless analogue of the camera live path (imageCaptured ->
@@ -288,9 +358,20 @@ def _cmd_watch(args) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    import os
+    import jax
     if args.platform:
-        import jax
         jax.config.update("jax_platforms", args.platform)
+    # Persistent compile cache: with it, a fresh CLI process's first match
+    # costs cache deserialization, not a recompile (pair with aot-export
+    # to also skip tracing). FIPM_CACHE_DIR overrides; empty disables.
+    cache = os.environ.get("FIPM_CACHE_DIR",
+                           os.path.expanduser("~/.cache/fipm-tpu/jax"))
+    if cache:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     if args.command == "match":
         return _cmd_match(args)
     if args.command == "settings":
@@ -305,6 +386,10 @@ def main(argv=None) -> int:
         return 0
     if args.command == "orb":
         return _cmd_orb(args)
+    if args.command == "aot-export":
+        return _cmd_aot_export(args)
+    if args.command == "aot-match":
+        return _cmd_aot_match(args)
     if args.command == "watch":
         return _cmd_watch(args)
     if args.command == "bench":

@@ -29,8 +29,8 @@ import numpy as np
 from ..config import MatchConfig
 from ..types import LearnedPattern, MatchResult
 from .template_matcher import (_Plan, _make_plan, _pack_result,
-                               _plan_device_arrays, _stats_key,
-                               _traced_stats_tuple, _unpack_result,
+                               _plan_device_arrays, _shared_plan, _stats_key,
+                               _thr_dev, _traced_stats_tuple, _unpack_result,
                                _get_pattern_dev, build_stages, match_arrays)
 
 
@@ -45,10 +45,10 @@ def _next_bucket(n: int) -> int:
 
 @functools.lru_cache(maxsize=32)
 def _compiled_batch(plan: _Plan, equal1_key, b: int):
-    def fn(srcs, templs, tstats, inv_mats, trans, valid_wh, angles_arr):
+    def fn(srcs, templs, tstats, inv_mats, trans, valid_wh, angles_arr, thr):
         stats = tuple((t[0], t[1], t[2], e)
                       for t, e in zip(tstats, equal1_key))
-        st = build_stages(plan, stats)
+        st = build_stages(plan, stats, thr)
 
         def one(src):
             out = st.match_fn(src, templs, inv_mats, trans, valid_wh,
@@ -95,7 +95,7 @@ def _prepare_batch(srcs, pattern: LearnedPattern, cfg: MatchConfig,
         srcs_dev = jnp.pad(srcs_dev, ((0, bucket - B), (0, 0), (0, 0)))
     ekey = _stats_key(stats)
     args = (srcs_dev, templs, _traced_stats_tuple(stats)) + \
-        _plan_device_arrays(plan)
+        _plan_device_arrays(plan) + (_thr_dev(plan.layer_scores),)
     return plan, ekey, args, B, bucket
 
 
@@ -116,7 +116,8 @@ def match_many_arrays(
     cfg = cfg or MatchConfig()
     plan, ekey, args, B, bucket = _prepare_batch(srcs, pattern, cfg,
                                                  batch_bucket)
-    packed = np.asarray(_compiled_batch(plan, ekey, bucket)(*args))
+    packed = np.asarray(
+        _compiled_batch(_shared_plan(plan), ekey, bucket)(*args))
     outs = [_unpack_result(packed[i]) for i in range(B)]
     # Per-frame NMS-cap overflow (rare): re-run those frames through the
     # single-image path, which re-dispatches with the cap lifted.
@@ -201,12 +202,12 @@ def _compiled_glyphs(plan: _Plan, equal1_key, g: int):
     n_levels = len(equal1_key)
 
     def fn(src, templs_stk, stats_stk, inv_mats, trans, valid_wh,
-           angles_arr):
+           angles_arr, thr):
         # templs_stk: tuple of [G, h_l, w_l] per level; stats_stk: [G, L, 3].
         stats0 = tuple((stats_stk[0, l, 0], stats_stk[0, l, 1],
                         stats_stk[0, l, 2], equal1_key[l])
                        for l in range(n_levels))
-        st0 = build_stages(plan, stats0)
+        st0 = build_stages(plan, stats0, thr)
         from ..ops.pyramid import build_pyramid
         pyr = build_pyramid(st0.prep_src(src), plan.top)
 
@@ -214,7 +215,7 @@ def _compiled_glyphs(plan: _Plan, equal1_key, g: int):
             templs_g, st_g = args
             stats = tuple((st_g[l, 0], st_g[l, 1], st_g[l, 2], equal1_key[l])
                           for l in range(n_levels))
-            st = build_stages(plan, stats)
+            st = build_stages(plan, stats, thr)
             out = st.match_from_pyr(pyr, templs_g, inv_mats, trans,
                                     valid_wh, angles_arr)
             return _pack_result(out, plan.cfg.max_pos)
@@ -261,9 +262,10 @@ def match_patterns(src, patterns: Sequence[LearnedPattern],
         stats_stk = jnp.asarray(
             [[[lv.mean, lv.norm, lv.inv_area] for lv in patterns[i].levels]
              for i in idxs], jnp.float32)
-        fn = _compiled_glyphs(plan, ekey, len(idxs))
+        fn = _compiled_glyphs(_shared_plan(plan), ekey, len(idxs))
         packed = np.asarray(fn(src_dev, templs_stk, stats_stk,
-                               *_plan_device_arrays(plan)))
+                               *_plan_device_arrays(plan),
+                               _thr_dev(plan.layer_scores)))
         for k, i in enumerate(idxs):
             out = _unpack_result(packed[k])
             if out.pop("nms_overflow", False) and plan.nms_cap < plan.c_max:

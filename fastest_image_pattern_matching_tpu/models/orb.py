@@ -148,24 +148,47 @@ def _orientation(img: jnp.ndarray, pts: jnp.ndarray, radius: int = 15
 
 @functools.lru_cache(maxsize=1)
 def _brief_pattern() -> np.ndarray:
-    """Deterministic 256-pair BRIEF sampling pattern [256, 4] as
-    (x1, y1, x2, y2), Gaussian-distributed like BRIEF (sigma = patch/5),
-    fixed seed. (The exact OpenCV learned pattern is not required for
-    homography-level parity; the contract is descriptor distinctiveness.)"""
+    """The 256-pair rBRIEF sampling pattern [256, 4] as (x1, y1, x2, y2).
+
+    Default: cv::ORB's learned pattern (models/orb_bit_pattern.npy),
+    recovered from the installed OpenCV runtime by black-box probing
+    (tools/recover_brief_pattern.py) — with it, descriptors are
+    bit-compatible with cv::ORB's on shared keypoints (up to blur
+    rounding ties; tests/test_orb_descriptor_parity.py). Falls back to a
+    seeded Gaussian pattern (BRIEF-style, sigma = patch/5) if the table
+    file is absent."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "orb_bit_pattern.npy")
+    if os.path.exists(path):
+        return np.load(path).astype(np.int32)
     rng = np.random.default_rng(0x5EED)
     sigma = 31 / 5.0
     pts = np.clip(np.round(rng.normal(0, sigma, size=(256, 4))), -13, 13)
     return pts.astype(np.int32)
 
 
+@functools.lru_cache(maxsize=1)
+def _gauss7_kernel() -> np.ndarray:
+    """cv::ORB's descriptor pre-blur: 7x7 Gaussian, sigma 2 (the kernel
+    cv::getGaussianKernel(7, 2) produces, established empirically by the
+    delta-scan in tools/recover_brief_pattern.py)."""
+    d = np.arange(-3, 4, dtype=np.float64)
+    g = np.exp(-(d * d) / 8.0)
+    g /= g.sum()
+    return np.outer(g, g).astype(np.float32)
+
+
 def _descriptors(img: jnp.ndarray, pts: jnp.ndarray, angles: jnp.ndarray
                  ) -> jnp.ndarray:
     """Steered-BRIEF descriptors as ±1 float [N, 256]. Pixels are compared
-    on a 5x5-box-smoothed image (like ORB's integral-image smoothing)."""
-    box = jnp.ones((5, 5), jnp.float32) / 25.0
+    on the 7x7/sigma-2 Gaussian-blurred image rounded to integers —
+    cv::ORB's model, so bits match cv2 descriptors on shared keypoints
+    (up to fixed-point blur ties)."""
+    kern = jnp.asarray(_gauss7_kernel())
     sm = jax.lax.conv_general_dilated(
-        img[None, None], box[None, None], (1, 1), "SAME",
+        img[None, None], kern[None, None], (1, 1), "SAME",
         dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    sm = jnp.round(sm)
     H, W = img.shape
     pat = jnp.asarray(_brief_pattern(), jnp.float32)  # [256, 4]
 

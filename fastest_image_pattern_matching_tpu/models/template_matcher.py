@@ -191,14 +191,23 @@ def _top_sweep_arrays(plan: _Plan):
             np.array(valid_wh, np.int32), np.array(plan.angles, np.float32))
 
 
-def build_stages(plan: _Plan, stats):
+def build_stages(plan: _Plan, stats, thr=None):
     """Build the pipeline stage functions for a static plan.
 
     Returns a namespace of pure, trace-compatible functions; the single-chip
     match program composes them, and parallel.matcher re-composes the same
     stages inside a shard_map with collectives between them.
+
+    thr: optional traced [top+1] f32 array of per-layer score thresholds
+    (thr[l] = score * 0.9^l; thr[0] doubles as the final cut). When given,
+    the compiled program is score-agnostic — every config that differs
+    only in `score` shares one XLA program (the _stats_key idea
+    generalized to thresholds). None bakes plan.layer_scores as constants
+    (the sharded/profiling composition paths).
     """
     cfg = plan.cfg
+    if thr is None:
+        thr = jnp.asarray(plan.layer_scores, jnp.float32)
     top, stop = plan.top, plan.stop
     th_t, tw_t = plan.templ_shapes[top]
     Hc, Wc = plan.canvas_hw
@@ -273,7 +282,7 @@ def build_stages(plan: _Plan, stats):
         n_ang = vals.shape[0]
         vals_f = vals.reshape(n_ang * K)
         locs_f = locs.reshape(n_ang * K, 2)
-        ok = vals_f >= jnp.float32(plan.layer_scores[top])
+        ok = vals_f >= thr[top]
         masked = jnp.where(ok, vals_f, jnp.float32(-1.0))
         top_vals, top_idx = jax.lax.top_k(masked, min(C, masked.shape[0]))
         if top_vals.shape[0] < C:  # pad up to the static candidate count
@@ -283,7 +292,7 @@ def build_stages(plan: _Plan, stats):
         aidx = top_idx // K
         pt = locs_f[top_idx].astype(jnp.float32) - trans[aidx]
         ang = angles_arr[aidx]
-        alive = top_vals >= jnp.float32(plan.layer_scores[top])
+        alive = top_vals >= thr[top]
         return pt, ang, top_vals, alive
 
     def descend_layer(l, src_l, templ_l, ptLT, ang, score, alive):
@@ -379,7 +388,7 @@ def build_stages(plan: _Plan, stats):
         best_xy = xy[ar, imax].astype(jnp.float32)
         best_border = border[ar, imax]
         best_ang = angs[ar, imax]
-        alive = alive & (best_v >= jnp.float32(plan.layer_scores[l]))
+        alive = alive & (best_v >= thr[l])
         score = best_v
 
         use_subpix = (cfg.use_subpixel and l == 0 and k_ang == 3)
@@ -456,7 +465,7 @@ def build_stages(plan: _Plan, stats):
     def finalize(final_pt, final_ang, score, alive):
         ang = final_ang
         # FilterWithScore (MatchToolDlg.cpp:1481-1497): sort desc + cut.
-        ok = alive & (score >= jnp.float32(cfg.score))
+        ok = alive & (score >= thr[0])
         svals = jnp.where(ok, score, jnp.float32(-1.0))
         order = jnp.argsort(-svals, stable=True)
         score_s = svals[order]
@@ -595,6 +604,22 @@ def _stats_key(stats):
     return tuple(bool(s[3]) for s in stats)
 
 
+def _shared_plan(plan: _Plan) -> _Plan:
+    """Compile-cache key: the plan with the score threshold scrubbed.
+    Thresholds are traced (build_stages thr arg), so configs that differ
+    only in `score` share one compiled program."""
+    return dataclasses.replace(
+        plan, layer_scores=(),
+        cfg=dataclasses.replace(plan.cfg, score=0.0))
+
+
+@functools.lru_cache(maxsize=128)
+def _thr_dev(layer_scores: Tuple[float, ...]):
+    """Device copy of the per-layer thresholds, cached per value tuple
+    (one tiny upload per distinct score, not per call)."""
+    return jnp.asarray(layer_scores, jnp.float32)
+
+
 @functools.lru_cache(maxsize=128)
 def _traced_stats_tuple(stats):
     """Device scalars for the traced numeric stats. Cached on the (pure
@@ -635,10 +660,10 @@ def _unpack_result(packed):
 
 @functools.lru_cache(maxsize=32)
 def _compiled(plan: _Plan, equal1_key):
-    def fn(src, templs, tstats, inv_mats, trans, valid_wh, angles_arr):
+    def fn(src, templs, tstats, inv_mats, trans, valid_wh, angles_arr, thr):
         stats = tuple((t[0], t[1], t[2], e)
                       for t, e in zip(tstats, equal1_key))
-        out = build_stages(plan, stats).match_fn(
+        out = build_stages(plan, stats, thr).match_fn(
             src, templs, inv_mats, trans, valid_wh, angles_arr)
         return _pack_result(out, plan.cfg.max_pos)
     return jax.jit(fn)
@@ -646,12 +671,12 @@ def _compiled(plan: _Plan, equal1_key):
 
 @functools.lru_cache(maxsize=32)
 def _compiled_phase_a(plan: _Plan, equal1_key):
-    def fn(src, templs, tstats, inv_mats, trans, valid_wh, angles_arr):
+    def fn(src, templs, tstats, inv_mats, trans, valid_wh, angles_arr, thr):
         stats = tuple((t[0], t[1], t[2], e)
                       for t, e in zip(tstats, equal1_key))
         (ptLT, ang, score, alive), pyr_low = build_stages(
-            plan, stats).phase_a(src, templs, inv_mats, trans, valid_wh,
-                                 angles_arr)
+            plan, stats, thr).phase_a(src, templs, inv_mats, trans, valid_wh,
+                                      angles_arr)
         packed = jnp.concatenate(
             [ptLT, ang[:, None], score[:, None],
              alive.astype(jnp.float32)[:, None]], axis=1)  # [C, 5]
@@ -661,22 +686,22 @@ def _compiled_phase_a(plan: _Plan, equal1_key):
 
 @functools.lru_cache(maxsize=64)
 def _compiled_phase_b(plan: _Plan, equal1_key, c_compact: int):
-    def fn(packed, pyr_low, templs, tstats):
+    def fn(packed, pyr_low, templs, tstats, thr):
         stats = tuple((t[0], t[1], t[2], e)
                       for t, e in zip(tstats, equal1_key))
         state = (packed[:, 0:2], packed[:, 2], packed[:, 3],
                  packed[:, 4] > 0.5)
-        out = build_stages(plan, stats).phase_b(state, pyr_low, templs)
+        out = build_stages(plan, stats, thr).phase_b(state, pyr_low, templs)
         return _pack_result(out, plan.cfg.max_pos)
     return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=8)
 def _compiled_debug(plan: _Plan, equal1_key):
-    def fn(src, templs, tstats, inv_mats, trans, valid_wh, angles_arr):
+    def fn(src, templs, tstats, inv_mats, trans, valid_wh, angles_arr, thr):
         stats = tuple((t[0], t[1], t[2], e)
                       for t, e in zip(tstats, equal1_key))
-        return build_stages(plan, stats).debug_candidates(
+        return build_stages(plan, stats, thr).debug_candidates(
             src, templs, inv_mats, trans, valid_wh, angles_arr)
     return jax.jit(fn)
 
@@ -810,7 +835,8 @@ def _prepare(src, pattern: LearnedPattern, cfg: MatchConfig):
         src_dev = src_dev.astype(jnp.float32)
     tstats = _traced_stats_tuple(stats)
     ekey = _stats_key(stats)
-    args = (src_dev, templs, tstats) + _plan_device_arrays(plan)
+    args = (src_dev, templs, tstats) + _plan_device_arrays(plan) \
+        + (_thr_dev(plan.layer_scores),)
     return plan, ekey, args
 
 
@@ -823,7 +849,7 @@ def match_candidates(src: np.ndarray, pattern: LearnedPattern,
     convention), score (top-layer NCC), alive (above layer threshold)."""
     cfg = cfg or MatchConfig()
     plan, ekey, args = _prepare(src, pattern, cfg)
-    packed = np.asarray(_compiled_debug(plan, ekey)(*args))
+    packed = np.asarray(_compiled_debug(_shared_plan(plan), ekey)(*args))
     return {
         "x": packed[:, 0], "y": packed[:, 1], "angle": packed[:, 2],
         "score": packed[:, 3], "alive": packed[:, 4] > 0.5,
@@ -854,9 +880,10 @@ def _dispatch(plan: _Plan, ekey, args, cfg) -> Dict[str, np.ndarray]:
     # (the tunnel pays tens of ms per round-trip).
     templs, tstats = args[1], args[2]
     if cfg.two_phase:
-        st_meta = _stage_split(plan, ekey)
+        st_meta = _stage_split(_shared_plan(plan), ekey)
         if st_meta is not None:
-            packed, pyr_low = _compiled_phase_a(plan, ekey)(*args)
+            packed, pyr_low = _compiled_phase_a(_shared_plan(plan),
+                                                ekey)(*args)
             ph = np.asarray(packed)  # one transfer: [C, 5]
             alive = ph[:, 4] > 0.5
             n_alive = int(alive.sum())
@@ -873,11 +900,11 @@ def _dispatch(plan: _Plan, ekey, args, cfg) -> Dict[str, np.ndarray]:
             c2 = _bucket(n_alive, ph.shape[0])
             key = np.where(alive, ph[:, 3], -2.0)
             order = np.argsort(-key, kind="stable")[:c2]
-            out = _compiled_phase_b(plan, ekey, c2)(
-                jnp.asarray(ph[order]), pyr_low, templs, tstats)
+            out = _compiled_phase_b(_shared_plan(plan), ekey, c2)(
+                jnp.asarray(ph[order]), pyr_low, templs, tstats, args[-1])
             return _unpack_result(out)
 
-    fn = _compiled(plan, ekey)
+    fn = _compiled(_shared_plan(plan), ekey)
     return _unpack_result(fn(*args))
 
 

@@ -1,0 +1,110 @@
+"""AOT pack export/load: results identical to the traced path, no
+retracing of the match program in the loading process (we can't assert
+"no tracing" directly, but we assert the pack round-trips through disk
+into a fresh cache-less call path and matches bit-for-bit)."""
+
+import numpy as np
+import pytest
+
+import fastest_image_pattern_matching_tpu as fipm
+from fastest_image_pattern_matching_tpu import aot
+
+
+def _scene(seed=3, hw=(240, 320), tpl_hw=(48, 40), n=3):
+    rng = np.random.default_rng(seed)
+    tpl = rng.integers(0, 255, tpl_hw, dtype=np.uint8)
+    scene = rng.integers(90, 140, hw, dtype=np.uint8)
+    ys = [10, 120, 60]
+    xs = [20, 200, 120]
+    for i in range(n):
+        scene[ys[i]:ys[i] + tpl_hw[0], xs[i]:xs[i] + tpl_hw[1]] = tpl
+    return scene, tpl
+
+
+@pytest.fixture(scope="module")
+def pack(tmp_path_factory):
+    scene, tpl = _scene()
+    cfg = fipm.MatchConfig(max_pos=5, score=0.6, tolerance_angle=10.0)
+    pat = fipm.learn_pattern(tpl, cfg.min_reduce_area)
+    path = str(tmp_path_factory.mktemp("aot") / "pack.npz")
+    timings = fipm.export_match_pack(path, pat, cfg, scene.shape,
+                                     batch_sizes=(2,))
+    assert "single" in timings
+    return path, scene, tpl, cfg, pat
+
+
+def test_roundtrip_matches_traced(pack):
+    path, scene, tpl, cfg, pat = pack
+    m = fipm.AotMatcher.load(path)
+    ref = fipm.match(scene, pat, cfg)
+    got = m.match(scene)
+    assert len(got) == len(ref) == 3
+    for a, b in zip(got, ref):
+        assert a.score == b.score
+        assert a.angle == b.angle
+        assert a.center == b.center
+
+
+def test_loaded_config_and_pattern(pack):
+    path, scene, tpl, cfg, pat = pack
+    m = fipm.AotMatcher.load(path)
+    assert m.config == cfg
+    assert m.src_shape == scene.shape
+    assert len(m.pattern.levels) == len(pat.levels)
+    np.testing.assert_array_equal(m.pattern.levels[0].templ,
+                                  pat.levels[0].templ)
+
+
+def test_batched_program(pack):
+    path, scene, tpl, cfg, pat = pack
+    m = fipm.AotMatcher.load(path)
+    assert m.batch_sizes == [2]
+    frames = np.stack([scene, np.roll(scene, 8, axis=0)])
+    got = m.match_many(frames)
+    ref = fipm.match_many(frames, pat, cfg, batch_bucket=2)
+    assert [len(g) for g in got] == [len(r) for r in ref]
+    for gs, rs in zip(got, ref):
+        for a, b in zip(gs, rs):
+            assert a.score == b.score
+            assert a.center == b.center
+    # B=1 pads into the bucket-2 program
+    one = m.match_many(frames[:1])
+    assert len(one) == 1 and len(one[0]) == len(ref[0])
+
+
+def test_shape_and_bucket_guards(pack):
+    path, scene, tpl, cfg, pat = pack
+    m = fipm.AotMatcher.load(path)
+    with pytest.raises(ValueError, match="shape"):
+        m.match(scene[:-8])
+    with pytest.raises(ValueError, match="batch"):
+        m.match_many(np.stack([scene] * 3))
+
+
+def test_overflow_falls_back(pack):
+    """A scene with more above-threshold candidates than the NMS cap must
+    still return the exact uncapped result (via the uncapped program in
+    the pack, or the traced fallback)."""
+    rng = np.random.default_rng(0)
+    tpl = rng.integers(0, 255, (24, 24), dtype=np.uint8)
+    hw = (600, 800)
+    scene = rng.integers(90, 140, hw, dtype=np.uint8)
+    n = 0
+    for y in range(8, hw[0] - 30, 36):
+        for x in range(8, hw[1] - 30, 36):
+            scene[y:y + 24, x:x + 24] = tpl
+            n += 1
+    cfg = fipm.MatchConfig(max_pos=200, score=0.5, tolerance_angle=0.0,
+                           max_overlap=0.5, min_reduce_area=64)
+    pat = fipm.learn_pattern(tpl, cfg.min_reduce_area)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "p.npz")
+        fipm.export_match_pack(path, pat, cfg, hw)
+        m = fipm.AotMatcher.load(path)
+        got = m.match(scene)
+    ref = fipm.match(scene, pat, cfg)
+    assert len(got) == len(ref) > 0
+    for a, b in zip(got, ref):
+        assert a.score == b.score
+        assert a.center == b.center

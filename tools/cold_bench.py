@@ -34,39 +34,54 @@ sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tools")
 import cv2
 import fastest_image_pattern_matching_tpu as fipm
 from suite_bench import IMG_DIR, TESTS, _load_scene
-name = sys.argv[1]
+name, mode = sys.argv[1], sys.argv[2]
 row = [t for t in TESTS if t[0] == name][0]
 _, s, d, kw, _refs, _expect, _note = row
 tpl = cv2.imread(f"{IMG_DIR}/{d}", cv2.IMREAD_GRAYSCALE)
 src = _load_scene(s, tpl)
 cfg = fipm.MatchConfig(**kw)
-pattern = fipm.learn_pattern(tpl, cfg.min_reduce_area)
 src_dev = jnp.asarray(src, jnp.float32)
 float(src_dev[0, 0])
-t0 = time.time()
-res = fipm.match(src_dev, pattern, cfg)
-first_ms = (time.time() - t0) * 1000
-print(json.dumps({"test": name, "import_s": round(t_imp, 1),
-                  "claim_s": round(t_claim, 1),
-                  "first_match_ms": round(first_ms, 1),
-                  "found": len(res)}))
+if mode == "aot":
+    # Deployment path: load the exported pack — zero tracing.
+    t0 = time.time()
+    m = fipm.AotMatcher.load(f"/root/repo/.aot_packs/{name}.npz")
+    t_load = time.time() - t0
+    t0 = time.time()
+    res = m.match(src_dev)
+    first_ms = (time.time() - t0) * 1000
+    extra = {"pack_load_ms": round(t_load * 1000, 1)}
+else:
+    pattern = fipm.learn_pattern(tpl, cfg.min_reduce_area)
+    t0 = time.time()
+    res = fipm.match(src_dev, pattern, cfg)
+    first_ms = (time.time() - t0) * 1000
+    extra = {}
+print(json.dumps(dict({"test": name, "mode": mode,
+                       "import_s": round(t_imp, 1),
+                       "claim_s": round(t_claim, 1),
+                       "first_match_ms": round(first_ms, 1),
+                       "found": len(res)}, **extra)))
 '''
 
+ALL_TESTS = ("Test1", "Test2", "Test3", "Test4", "Test5", "Test6", "Test7")
 
-def run_cold(tests=("Test1", "Test2", "Test3", "Test4", "Test5", "Test6",
-                    "Test7"), log=print):
+
+def run_cold(tests=ALL_TESTS, log=print, modes=("traced", "aot")):
     rows = []
     for name in tests:
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c", CHILD, name], capture_output=True,
-                text=True, timeout=900, cwd="/root/repo")
-            line = out.stdout.strip().splitlines()[-1]
-            row = json.loads(line)
-        except Exception as e:
-            row = {"test": name, "error": str(e)[:120]}
-        rows.append(row)
-        log(f"cold {name}: {row}")
+        for mode in modes:
+            try:
+                out = subprocess.run(
+                    [sys.executable, "-c", CHILD, name, mode],
+                    capture_output=True, text=True, timeout=900,
+                    cwd="/root/repo")
+                line = out.stdout.strip().splitlines()[-1]
+                row = json.loads(line)
+            except Exception as e:
+                row = {"test": name, "mode": mode, "error": str(e)[:120]}
+            rows.append(row)
+            log(f"cold {name}/{mode}: {row}")
     return rows
 
 
