@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--no-settings", action="store_true",
                    help="ignore and don't update the settings file")
     m.add_argument("--json", action="store_true", help="JSON output")
+    m.add_argument("--lang", default=None, help="output language (a "
+                   "section name in --lang-file; the reference's "
+                   "MatchTool.Lang mechanism, MatchToolDlg.cpp:618-709)")
+    m.add_argument("--lang-file", default=None,
+                   help="MatchTool-format .Lang INI path")
     m.add_argument("--output-image", help="write annotated overlay image")
     m.add_argument("--output-roi", help="directory to dump matched ROIs")
     m.add_argument("--pattern-out", help="save learned pattern (.npz)")
@@ -176,9 +181,13 @@ def _cmd_match(args) -> int:
             } for i, r in enumerate(results)],
         }))
     else:
-        print(f"Execution time: {dt:.1f} ms (includes compile on first run)")
-        print(f"Total number: {len(results)}")
-        print(f"{'Index':>5} {'Score':>8} {'Angle':>10} {'PosX':>10} {'PosY':>10}")
+        from .utils.i18n import Translator
+        tr = Translator(args.lang, args.lang_file).t
+        print(f"{tr('ExecutionTime')}: {dt:.1f} ms "
+              f"(includes compile on first run)")
+        print(f"{tr('TotalNumber')}: {len(results)}")
+        print(f"{tr('Index'):>5} {tr('Score'):>8} {tr('Angle(deg)'):>10} "
+              f"{tr('PosX'):>10} {tr('PosY'):>10}")
         for i, r in enumerate(results):
             print(f"{i:>5} {r.score:>8.3f} {r.angle:>10.3f} "
                   f"{r.pos_x:>10.3f} {r.pos_y:>10.3f}")
