@@ -433,7 +433,17 @@ def _orb_core(cfg: ORBConfig, seed: int):
         H, mask = ransac_homography(s_pts, t_pts, good_valid,
                                     cfg.ransac_threshold, cfg.ransac_iters,
                                     seed)
-        return H, mask, s_pts, t_pts, good_valid, n_finite
+        # ONE packed f32 output: each separately-fetched leaf costs a
+        # serialized-tunnel round trip (~24 ms) on axon; six leaves made
+        # host assembly 3x the compute time.
+        return jnp.concatenate([
+            H.reshape(9).astype(jnp.float32),
+            jnp.float32(n_finite)[None],
+            mask.astype(jnp.float32),
+            good_valid.astype(jnp.float32),
+            s_pts.reshape(2 * N).astype(jnp.float32),
+            t_pts.reshape(2 * N).astype(jnp.float32),
+        ])
 
     return jax.jit(fn)
 
@@ -452,22 +462,25 @@ def orb_match(source: np.ndarray, template: np.ndarray,
     if template.ndim == 3:
         template = template[..., 0]
 
-    H, mask, s_pts, t_pts, good_valid, n_finite = _orb_core(cfg, seed)(
-        jnp.asarray(source, jnp.float32), jnp.asarray(template, jnp.float32))
-    if int(n_finite) < 10:  # :66
+    packed = np.asarray(_orb_core(cfg, seed)(
+        jnp.asarray(source, jnp.float32),
+        jnp.asarray(template, jnp.float32)))  # single host transfer
+    N = (packed.shape[0] - 10) // 6
+    Hnp = packed[:9].astype(np.float64).reshape(3, 3)
+    n_finite = int(packed[9])
+    mask_np = packed[10:10 + N] > 0.5
+    good_valid = packed[10 + N:10 + 2 * N] > 0.5
+    s_np = packed[10 + 2 * N:10 + 4 * N].reshape(N, 2)
+    t_np = packed[10 + 4 * N:10 + 6 * N].reshape(N, 2)
+    if n_finite < 10:  # :66
         return ORBResult(False, None, 0, 0, 0.0, None)
-    N = s_pts.shape[0]
-    mask_np = np.asarray(mask)
     n_inl = int(mask_np.sum())
     if n_inl < 2:  # :156
         return ORBResult(False, None, n_inl, N, 0.0, None)
 
-    s_np = np.asarray(s_pts)
-    t_np = np.asarray(t_pts)
     shifts = np.linalg.norm(t_np[mask_np] - s_np[mask_np], axis=1)
     avg_shift = float(shifts.mean())
     scale_mm = (physics_shift_mm / avg_shift) if avg_shift > 1e-6 else 0.0
-    Hnp = np.asarray(H, np.float64)
     rot_deg = float(np.degrees(np.arctan2(Hnp[1, 0], Hnp[0, 0])))
 
     # Template corners in the source frame: perspectiveTransform with

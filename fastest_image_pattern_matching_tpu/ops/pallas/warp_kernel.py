@@ -49,23 +49,27 @@ TH = 8      # default output tile sublanes (see tile_h below)
 TW = 128    # output tile lanes
 # Source window per tile: must cover the rotated tile bbox plus origin
 # alignment slack (8 sublanes / 128 lanes, required for DMA slicing of
-# tiled memrefs). For a pure rotation the bbox span per axis is
-# TW|cos| + TH|sin| <= sqrt(TW^2 + TH^2), so any tile_h <= 32 fits the
-# same 144-wide window: sqrt(128^2+32^2)=131.9, +2 taps +1 floor slack
-# (x) / +7 8-row align slack +3 (y) <= 144. Taller tiles fetch the SAME
-# window per tile but cover tile_h/8 x more outputs — the per-output DMA
-# amplification drops proportionally (the warp is DMA-bound at large
-# ROIs).
-WIN_H = 144
-WIN_W = 384  # multiple of 128 (lane-dim slice alignment)
-# Selection width after the dynamic lane roll: the DMA must start on a
-# 128-lane boundary, but the interpolation matmuls need only the rotated-
-# tile bbox: span_x <= ceil(sqrt(127^2 + 7^2)) + 2 taps + 1 floor slack
-# ~ 141 lanes (similarly span_y + 8-row align slack <= 141 rows for WIN_H).
-# Rolling the fetched window left by the alignment remainder and slicing to
-# SEL_W cuts the matmul contraction dim from WIN_W=384 to 144.
-SEL_W = 144
-PAD = 288   # host-side border padding (>= WIN, multiple of 8)
+# tiled memrefs). For a pure rotation the bbox span per axis is bounded
+# by hypot(tile_w_eff, tile_h_eff), where the EFFECTIVE tile extent
+# clamps to the real output size (out-of-range lanes/rows replicate the
+# last valid coordinate — they are sliced away by the caller, so they
+# need no window coverage of their own). Window sizes are therefore
+# picked per (out_hw, tile_h) from BUCKETS below: small descent ROIs
+# (e.g. a 23x30 refinement ROI, span ~38) fetch a 56x256 window and
+# contract over 48 lanes instead of the full-tile 144x384/144 — ~4x less
+# DMA and 3x less matmul work on the layers that dominate descent time.
+#   SEL_W >= span + 9 (2 taps + 1 floor slack + alignment remainder
+#   headroom is handled by the roll); WIN_H >= span + 10 (2 taps +
+#   1 floor + 7 sublane-align slack); WIN_W - SEL_W >= 128 so the
+#   128-aligned DMA origin stays within roll range of the desired lane
+#   origin (requires Wp % 128 == 0, which the host pad guarantees).
+# Buckets: (max_span, WIN_H, WIN_W, SEL_W).
+BUCKETS = (
+    (39, 56, 256, 48),
+    (103, 120, 256, 112),
+    (132, 144, 384, 144),
+)
+PAD = 288   # host-side border padding (>= max WIN_H, multiple of 8)
 
 # Matmul precision scheme: "int8" (2x MXU rate, exact — see module doc)
 # with "bf16" fallback (also exact). Overridable for A/B timing.
@@ -93,16 +97,31 @@ def warp_affine_pallas(
     Ho, Wo = out_hw
     B = inv_mats.shape[0]
     if tile_h is None:
-        # Large ROIs are partly DMA-bound: taller tiles amortize the fixed
-        # 144x384 window fetch over more output rows. On-chip A/B (job
-        # 260_tileh_ab, v5e): th=16 fastest at flagship L0 (28.2 vs
-        # 29.2 ms for th=8, incl ~26 ms tunnel floor), th=32 in between
-        # (VMEM pressure); all exact.
-        tile_h = 16 if Ho >= 16 else TH
+        if Ho <= 32:
+            # One row-tile for small descent ROIs (halves grid cells on
+            # e.g. a 23-row ROI vs th=16).
+            tile_h = 8 if Ho <= 8 else (16 if Ho <= 16 else 32)
+        else:
+            # Large ROIs are partly DMA-bound: taller tiles amortize the
+            # fixed window fetch over more output rows. On-chip A/B (job
+            # 260_tileh_ab, v5e): th=16 fastest at flagship L0 (28.2 vs
+            # 29.2 ms for th=8, incl ~26 ms tunnel floor), th=32 in
+            # between (VMEM pressure); all exact.
+            tile_h = 16
     assert tile_h in (8, 16, 32), tile_h
     th = tile_h
     n_ti = pl.cdiv(Ho, th)
     n_tj = pl.cdiv(Wo, TW)
+    # Window bucket from the EFFECTIVE rotated-tile span (coords of
+    # out-of-range lanes/rows are clamped in-kernel to the last valid
+    # output position, so only the real output extent needs coverage).
+    import math
+    span = int(math.ceil(math.hypot(min(TW, Wo), min(th, Ho))))
+    for max_span, win_h, win_w, sel_w in BUCKETS:
+        if span <= max_span:
+            break
+    else:
+        raise AssertionError(f"tile span {span} exceeds largest bucket")
     if matmul_dtype is None:
         matmul_dtype = MATMUL_DTYPE
 
@@ -123,7 +142,8 @@ def warp_affine_pallas(
                          (B, 4)),
     ], axis=1)  # [B, 10]
 
-    body = functools.partial(_warp_kernel_body, matmul_dtype, th)
+    body = functools.partial(_warp_kernel_body, matmul_dtype, th,
+                             (win_h, win_w, sel_w), (Ho, Wo))
     out = pl.pallas_call(
         body,
         grid=(B, n_ti, n_tj),
@@ -135,7 +155,7 @@ def warp_affine_pallas(
         out_shape=jax.ShapeDtypeStruct((B, n_ti * th, n_tj * TW),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, WIN_H, WIN_W), jnp.float32),
+            pltpu.VMEM((2, win_h, win_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -146,8 +166,10 @@ def warp_affine_pallas(
     return out
 
 
-def _warp_kernel_body(matmul_dtype, th, inv_ref, src_hbm, out_ref, win_ref,
-                      sem):
+def _warp_kernel_body(matmul_dtype, th, win_shape, out_hw, inv_ref, src_hbm,
+                      out_ref, win_ref, sem):
+    WIN_H, WIN_W, SEL_W = win_shape
+    Ho, Wo = out_hw
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -159,7 +181,11 @@ def _warp_kernel_body(matmul_dtype, th, inv_ref, src_hbm, out_ref, win_ref,
 
     def origins(b_, i_, j_):
         """Window origins for grid cell (b_, i_, j_): the DMA origin
-        (oy, ox) and the desired unaligned lane origin ux."""
+        (oy, ox) and the desired unaligned lane origin ux. Corner extents
+        clamp to the last VALID output position (Ho-1, Wo-1) — matching
+        the clamped per-lane coords below — so partial tiles only need
+        window coverage for real outputs (this is what lets small-ROI
+        tiles use the small window buckets)."""
         a_ = inv_ref[b_, 0]
         b2 = inv_ref[b_, 1]
         tx_ = inv_ref[b_, 2]
@@ -170,6 +196,8 @@ def _warp_kernel_body(matmul_dtype, th, inv_ref, src_hbm, out_ref, win_ref,
         W_ = inv_ref[b_, 7]
         i0_ = (i_ * th).astype(jnp.float32)
         j0_ = (j_ * TW).astype(jnp.float32)
+        i1_ = jnp.minimum(i0_ + th - 1, jnp.float32(Ho - 1))
+        j1_ = jnp.minimum(j0_ + TW - 1, jnp.float32(Wo - 1))
         lo_x_ = -jnp.float32(PAD - 2)
         hi_x_ = W_ + jnp.float32(PAD - 3)
         lo_y_ = -jnp.float32(PAD - 2)
@@ -181,9 +209,8 @@ def _warp_kernel_body(matmul_dtype, th, inv_ref, src_hbm, out_ref, win_ref,
             return (jnp.clip(fx_, lo_x_, hi_x_),
                     jnp.clip(fy_, lo_y_, hi_y_))
 
-        cs = [corner(i0_, j0_), corner(i0_ + th - 1, j0_),
-              corner(i0_, j0_ + TW - 1),
-              corner(i0_ + th - 1, j0_ + TW - 1)]
+        cs = [corner(i0_, j0_), corner(i1_, j0_),
+              corner(i0_, j1_), corner(i1_, j1_)]
         min_fx = jnp.minimum(jnp.minimum(cs[0][0], cs[1][0]),
                              jnp.minimum(cs[2][0], cs[3][0]))
         min_fy = jnp.minimum(jnp.minimum(cs[0][1], cs[1][1]),
@@ -194,7 +221,7 @@ def _warp_kernel_body(matmul_dtype, th, inv_ref, src_hbm, out_ref, win_ref,
         # 128-aligned clipped floor. Wp % 128 == 0 (host pads), so even at
         # the right edge ux - ox <= WIN_W - SEL_W and the post-roll
         # [0, SEL_W) slice never wraps (tile taps live in [ux, ux + SEL_W)
-        # by construction).
+        # by construction; WIN_W - SEL_W >= 128 in every bucket).
         ux_ = jnp.clip(wx0_ + PAD, 0, Wp - SEL_W)
         ox_ = jnp.clip(ux_, 0, Wp - WIN_W) // 128 * 128
         oy_ = jnp.clip(wy0_ + PAD, 0, Hp - WIN_H) // 8 * 8
@@ -244,10 +271,16 @@ def _warp_kernel_body(matmul_dtype, th, inv_ref, src_hbm, out_ref, win_ref,
     lo_y = -jnp.float32(PAD - 2)
     hi_y = H + jnp.float32(PAD - 3)
 
-    ii = jax.lax.broadcasted_iota(jnp.int32, (th, TW), 0).astype(
-        jnp.float32) + i0
-    jj = jax.lax.broadcasted_iota(jnp.int32, (th, TW), 1).astype(
-        jnp.float32) + j0
+    # Coordinates of rows/lanes beyond the real output extent clamp to
+    # the last valid position: their outputs are duplicates the caller
+    # slices away, and the clamp keeps every sample inside the fetched
+    # window (matching the clamped corner extents in origins()).
+    ii = jnp.minimum(
+        jax.lax.broadcasted_iota(jnp.int32, (th, TW), 0).astype(jnp.float32)
+        + i0, jnp.float32(Ho - 1))
+    jj = jnp.minimum(
+        jax.lax.broadcasted_iota(jnp.int32, (th, TW), 1).astype(jnp.float32)
+        + j0, jnp.float32(Wo - 1))
     fx = jnp.clip(a * jj + b * ii + tx, lo_x, hi_x).reshape(1, th * TW)
     fy = jnp.clip(c * jj + d * ii + ty, lo_y, hi_y).reshape(1, th * TW)
     x0f = jnp.floor(fx)

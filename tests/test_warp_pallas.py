@@ -132,3 +132,53 @@ def test_pallas_many_batch_slot_rotation(src):
         jnp.asarray(src), jnp.asarray(inv), out_hw, 0.0, quantize=True,
         interpret=True))
     _assert_quantized_parity(got, ref, ref_unq)
+
+
+@pytest.mark.parametrize("out_hw,expect_bucket", [
+    ((23, 30), 0),    # L5-like descent ROI -> small bucket (span ~38)
+    ((39, 54), 1),    # L4-like ROI -> medium bucket (span ~66)
+    ((16, 100), 1),   # wide-flat ROI (span ~101)
+    ((30, 28), 1),    # just past the small bucket edge (span ~41)
+    ((68, 70), 1),    # flagship top-sweep canvas
+])
+@pytest.mark.parametrize("matmul_dtype", ["int8", "bf16"])
+def test_pallas_small_roi_buckets(src, out_hw, expect_bucket, matmul_dtype):
+    """The small/medium window buckets (effective-extent clamping for
+    partial tiles) must stay exact vs the gather path at arbitrary
+    rotation angles — these are the descent-ROI shapes that dominate the
+    flagship's on-chip time."""
+    import math
+    from fastest_image_pattern_matching_tpu.ops.pallas.warp_kernel import (
+        BUCKETS, TW)
+    Ho, Wo = out_hw
+    th = 8 if Ho <= 8 else (16 if Ho <= 16 else (32 if Ho <= 32 else 16))
+    span = int(math.ceil(math.hypot(min(TW, Wo), min(th, Ho))))
+    bucket = next(i for i, b in enumerate(BUCKETS) if span <= b[0])
+    assert bucket == expect_bucket, (span, bucket)
+
+    inv = _rot_invmaps(src.shape, [0.0, 13.5, -37.25, 120.0, 89.5],
+                       shift=(31.25, -12.75))
+    ref = np.asarray(warp_affine_batch(jnp.asarray(src), jnp.asarray(inv),
+                                       out_hw, 64.0, quantize=True))
+    ref_unq = np.asarray(warp_affine_batch(
+        jnp.asarray(src), jnp.asarray(inv), out_hw, 64.0, quantize=False))
+    got = np.asarray(warp_affine_pallas(
+        jnp.asarray(src), jnp.asarray(inv), out_hw, 64.0, quantize=True,
+        matmul_dtype=matmul_dtype, interpret=True))
+    _assert_quantized_parity(got, ref, ref_unq)
+
+
+def test_pallas_small_roi_near_border(src):
+    """Small-bucket windows at the image edge: clamped sampling into the
+    constant border region must match the gather path."""
+    inv = _rot_invmaps(src.shape, [4.0, -170.0],
+                       shift=(-src.shape[1] / 2 + 4, -src.shape[0] / 2 + 6))
+    out_hw = (24, 32)
+    ref = np.asarray(warp_affine_batch(jnp.asarray(src), jnp.asarray(inv),
+                                       out_hw, 200.0, quantize=True))
+    ref_unq = np.asarray(warp_affine_batch(
+        jnp.asarray(src), jnp.asarray(inv), out_hw, 200.0, quantize=False))
+    got = np.asarray(warp_affine_pallas(
+        jnp.asarray(src), jnp.asarray(inv), out_hw, 200.0, quantize=True,
+        interpret=True))
+    _assert_quantized_parity(got, ref, ref_unq)

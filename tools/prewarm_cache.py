@@ -31,7 +31,7 @@ def _enable_cache():
 PACK_DIR = "/root/repo/.aot_packs"
 
 
-def prewarm_suite(batch: int = 4, log=print, export_packs: bool = False):
+def prewarm_suite(batch: int = 8, log=print, export_packs: bool = False):
     """Compile the full Test1-7 suite's single-frame AND batched programs
     (plus the flagship's) into the persistent cache.
 

@@ -179,7 +179,7 @@ def _load_scene(name, tpl):
     return cv2.imread(f"{IMG_DIR}/{name}", cv2.IMREAD_GRAYSCALE)
 
 
-def run_suite(iters=5, batch=4, log=print):
+def run_suite(iters=5, batch=8, log=print):
     import cv2
     import jax.numpy as jnp
     import fastest_image_pattern_matching_tpu as fipm
@@ -197,7 +197,10 @@ def run_suite(iters=5, batch=4, log=print):
 
         t0 = time.perf_counter()
         res = fipm.match(src_dev, pattern, cfg)  # compile + warmup
-        cold = (time.perf_counter() - t0) * 1000
+        # First call in THIS process (compile or in-memory/persistent
+        # cache hit — NOT a fresh-process cold start; that is COLD_r03's
+        # cold_bench measurement).
+        first_call = (time.perf_counter() - t0) * 1000
         if expect is not None and len(res) != expect:
             log(f"{name}: CONFORMANCE FAIL found={len(res)} expected={expect}")
 
@@ -216,36 +219,45 @@ def run_suite(iters=5, batch=4, log=print):
         assert len(r2) == len(res), "additive-offset invariance violated"
 
         # Per-frame through the PUBLIC batched API: B distinct device-
-        # resident frames, one compiled dispatch (the serving shape).
+        # resident frames, one compiled dispatch. Both candidate serving
+        # batches are measured; a deployment picks its batch per config
+        # (per-frame cost is not monotone in B for every regime — the
+        # 475-angle Test1 sweep prefers smaller batches).
+        api_by_batch = {}
         api_ms = None
-        api_found = None
-        try:
-            stack = jnp.stack([src_dev + np.float32(10 + i)
-                               for i in range(batch)])
-            float(stack[0, 0, 0])
-            rb = fipm.match_many(stack, pattern, cfg)       # compile+warmup
-            api_found = [len(r) for r in rb]
-            api_times = []
-            for it in range(3):
-                stack_v = stack + np.float32(40 + it)
-                float(stack_v[0, 0, 0])
-                ti = time.perf_counter()
-                rb = fipm.match_many(stack_v, pattern, cfg)
-                api_times.append((time.perf_counter() - ti) * 1000)
-            api_ms = sorted(api_times)[1] / batch
-            assert all(n == len(res) for n in api_found), api_found
-        except Exception as e:
-            log(f"{name}: batched-API path failed: {e!r}")
+        api_batch = None
+        for b in sorted({4, batch}):
+            try:
+                stack = jnp.stack([src_dev + np.float32(10 + i)
+                                   for i in range(b)])
+                float(stack[0, 0, 0])
+                rb = fipm.match_many(stack, pattern, cfg)   # compile+warmup
+                api_found = [len(r) for r in rb]
+                assert all(n == len(res) for n in api_found), api_found
+                api_times = []
+                for it in range(3):
+                    stack_v = stack + np.float32(40 + it)
+                    float(stack_v[0, 0, 0])
+                    ti = time.perf_counter()
+                    rb = fipm.match_many(stack_v, pattern, cfg)
+                    api_times.append((time.perf_counter() - ti) * 1000)
+                per_frame = sorted(api_times)[1] / b
+                api_by_batch[b] = round(per_frame, 1)
+                if api_ms is None or per_frame < api_ms:
+                    api_ms, api_batch = per_frame, b
+            except Exception as e:
+                log(f"{name}: batched-API path (B={b}) failed: {e!r}")
 
         row = {
             "test": name, "src": s, "dst": d,
             "src_hw": list(src.shape), "dst_hw": list(tpl.shape),
             "found": len(res), "expected_found": expect,
             "top_scores": [round(r.score, 3) for r in res[:5]],
-            "ms": round(ms, 1), "cold_ms": round(cold, 1),
+            "ms": round(ms, 1), "first_call_ms": round(first_call, 1),
             "api_ms_per_frame": (round(api_ms, 1)
                                  if api_ms is not None else None),
-            "api_batch": batch,
+            "api_batch": api_batch,
+            "api_ms_by_batch": api_by_batch,
             "ref_ms": ref_ms, "ref_simd_ms": ref_simd_ms,
             "vs_ref": round(ref_ms / ms, 2),
             "vs_ref_simd": (round(ref_simd_ms / ms, 2)
