@@ -169,9 +169,11 @@ class AotMatcher:
         pattern = LearnedPattern.load(io.BytesIO(bytes(data["pattern_npz"])))
         platforms = json.loads(bytes(data["platforms"]).decode())
         backend = jax.default_backend()
-        # axon (the tunnelled TPU plugin) lowers as 'tpu'.
-        norm = {"axon": "tpu"}.get(backend, backend)
-        if norm not in platforms:
+        # axon (the tunnelled TPU plugin) lowers as 'tpu'; normalize both
+        # sides so packs exported under either name load under either.
+        def norm(p):
+            return {"axon": "tpu"}.get(p, p)
+        if norm(backend) not in {norm(p) for p in platforms}:
             raise ValueError(
                 f"pack was exported for {platforms}, current backend is "
                 f"{backend!r} — re-export on this platform")

@@ -86,4 +86,6 @@ def run_cold(tests=ALL_TESTS, log=print, modes=("traced", "aot")):
 
 
 if __name__ == "__main__":
-    print(json.dumps({"cold": run_cold()}, indent=1))
+    def _log(m):
+        print(m, file=sys.stderr, flush=True)
+    print(json.dumps({"cold": run_cold(log=_log)}, indent=1))
