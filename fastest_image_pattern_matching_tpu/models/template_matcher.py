@@ -37,6 +37,11 @@ from ..ops.warp import (make_rotation_invmaps, rotate_pt_jnp,
 
 DBL_EPSILON = 2.220446049250313e-16
 
+# One jitted program for the whole learn pyramid: eager per-level
+# pyr_down costs one executable load per level per fresh process, which
+# is real money for warm cold-start through the serialized tunnel.
+_pyr_jit = jax.jit(build_pyramid, static_argnums=1)
+
 
 def _descend_chunk(roi_hw, templ_px: int, k_ang: int) -> int:
     """Candidate-chunk size for one descent layer. Small chunks on
@@ -98,7 +103,7 @@ def learn_pattern(templ: np.ndarray, min_reduce_area: int = 256,
         region_arrs.append(pts)
 
     top = geometry.top_layer(templ.shape, min_reduce_area)
-    pyr = [np.asarray(p) for p in build_pyramid(jnp.asarray(templ), top)]
+    pyr = [np.asarray(p) for p in _pyr_jit(jnp.asarray(templ), top)]
 
     levels: List[LevelData] = []
     for p in pyr:
