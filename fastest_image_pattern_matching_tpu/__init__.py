@@ -9,6 +9,15 @@ ORB feature-matching secondary path — redesigned TPU-first: batched MXU
 correlation, vmapped warps, on-device reductions, mesh sharding.
 """
 
+import os as _os
+
+if _os.environ.get("FIPM_STABLE_CACHE_KEYS", "1") != "0":
+    # Make persistent-cache keys deterministic for Pallas programs (the
+    # Mosaic payload embeds process-history-dependent debug info; see
+    # utils/cache_keys.py). Hash-only — compiled programs are untouched.
+    from .utils.cache_keys import install_stable_pallas_cache_keys as _iscc
+    _iscc()
+
 from .config import MatchConfig
 from .types import LearnedPattern, MatchResult
 from .models.template_matcher import (TemplateMatcher, learn_pattern, match,
