@@ -101,9 +101,18 @@ def build_parser() -> argparse.ArgumentParser:
     am.add_argument("--json", action="store_true")
 
     w = sub.add_parser("watch", help="live inspection: poll a directory "
-                       "for new images and match each (camera-loop analogue)")
+                       "for new images, or stream from a camera/video "
+                       "(the reference's -c/--camera mode, src/main.cpp:29)")
     w.add_argument("-t", "--template", required=True)
-    w.add_argument("--directory", required=True)
+    grp = w.add_mutually_exclusive_group(required=True)
+    grp.add_argument("--directory", default=None)
+    grp.add_argument("-c", "--camera", default=None,
+                     help="V4L2 device index, video file, or RTSP/GStreamer"
+                     " URL (threaded latest-frame grabber; slow matches "
+                     "drop frames instead of back-pressuring)")
+    w.add_argument("--every-frame", action="store_true",
+                   help="with --camera: process every frame instead of "
+                   "latest-only (file replay mode)")
     w.add_argument("--out", default=None, help="JSONL results path")
     w.add_argument("--interval", type=float, default=0.5)
     w.add_argument("--max-frames", type=int, default=0,
@@ -325,7 +334,9 @@ def _cmd_aot_match(args) -> int:
 def _cmd_watch(args) -> int:
     """Poll a directory for new images, match each as it appears — the
     headless analogue of the camera live path (imageCaptured ->
-    onCameraImageCaptured, src/MatchToolDialog.cpp:1557)."""
+    onCameraImageCaptured, src/MatchToolDialog.cpp:1557). With --camera,
+    stream frames from a device/file/URL through the threaded
+    latest-frame grabber instead (CameraPreviewDialog.cpp:84-131)."""
     import os
     import glob
     from . import MatchConfig, learn_pattern, match
@@ -336,6 +347,27 @@ def _cmd_watch(args) -> int:
     cfg = MatchConfig(max_pos=args.max_pos, score=args.score,
                       tolerance_angle=args.tolerance_angle)
     pattern = learn_pattern(tpl, cfg.min_reduce_area)
+
+    if args.camera is not None:
+        from .utils.sources import VideoCaptureSource
+        src_id = int(args.camera) if args.camera.isdigit() else args.camera
+        n = 0
+        with VideoCaptureSource(src_id, max_frames=args.max_frames,
+                                latest_only=not args.every_frame) as cam:
+            for frame in cam.frames():
+                if frame.ndim == 3:
+                    frame = frame[..., 0]
+                t0 = time.perf_counter()
+                res = match(frame, pattern, cfg)
+                ms = (time.perf_counter() - t0) * 1000
+                rec = {"frame": n, **match_results_to_dict(res, ms)}
+                print(f"frame {n}: {len(res)} matches, {ms:.0f} ms")
+                if args.out:
+                    append_jsonl(args.out, rec)
+                n += 1
+                if args.max_frames and n >= args.max_frames:
+                    break
+        return 0
     seen = set()
     n = 0
     while True:
