@@ -108,3 +108,33 @@ def test_overflow_falls_back(pack):
     for a, b in zip(got, ref):
         assert a.score == b.score
         assert a.center == b.center
+
+
+def test_pack_dual_range_and_regions(tmp_path):
+    """AOT pack round-trips the dual tolerance-range mode and a pattern
+    learned with roi= and marked regions (the config/pattern surface a
+    deployment actually freezes)."""
+    rng = np.random.default_rng(9)
+    full = rng.integers(0, 255, (70, 90), dtype=np.uint8)
+    roi = (20, 10, 40, 48)
+    tpl = full[roi[1]:roi[1] + roi[3], roi[0]:roi[0] + roi[2]]
+    scene = rng.integers(90, 140, (220, 300), dtype=np.uint8)
+    scene[60:60 + roi[3], 110:110 + roi[2]] = tpl
+    cfg = fipm.MatchConfig(max_pos=3, score=0.6,
+                           tolerance_ranges=(-8.0, 8.0, 172.0, 188.0))
+    pat = fipm.learn_pattern(full, cfg.min_reduce_area, roi=roi,
+                             regions=[[(2, 2), (30, 2), (16, 40)]])
+    path = str(tmp_path / "pack.npz")
+    fipm.export_match_pack(path, pat, cfg, scene.shape)
+    m = fipm.AotMatcher.load(path)
+    assert m.config.tolerance_ranges == (-8.0, 8.0, 172.0, 188.0)
+    assert m.pattern.roi == roi
+    assert len(m.pattern.regions) == 1
+    ref = fipm.match(scene, pat, cfg)
+    got = m.match(scene)
+    assert len(got) == len(ref) >= 1
+    for a, b in zip(got, ref):
+        assert a.score == b.score and a.center == b.center
+        # marked regions projected into the match frame, like match()
+        assert len(a.regions) == 1
+        np.testing.assert_allclose(a.regions[0], b.regions[0])
