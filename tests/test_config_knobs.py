@@ -8,6 +8,8 @@ keeps the top scorers — exact whenever every surviving target ranks
 within the narrowed bound, which these scenes guarantee.
 """
 
+import dataclasses
+
 import cv2
 import numpy as np
 import pytest
@@ -119,3 +121,78 @@ def test_narrow_candidates_bound(scene_and_pattern):
                             _cfg(max_pos=1, narrow_candidates=True))
     assert int(out["valid"].sum()) == 1
     assert out["score"][0] > 0.9
+
+
+def test_compute_dtype_variants_agree():
+    """bf16 (default), f32 and int8 MXU paths must find identical targets
+    with scores within float tolerance (all three are exact schemes on
+    u8-valued inputs; ncc-level parity is in test_ncc, this pins the
+    MatchConfig plumbing end-to-end)."""
+    import fastest_image_pattern_matching_tpu as fipm
+    rng = np.random.default_rng(17)
+    tpl = rng.integers(0, 255, (36, 44), dtype=np.uint8)
+    scene = rng.integers(80, 150, (200, 260), dtype=np.uint8)
+    scene[40:76, 60:104] = tpl
+    scene[120:156, 170:214] = tpl
+    pat = fipm.learn_pattern(tpl, 256)
+    res = {}
+    for dt in ("bf16", "f32", "int8"):
+        cfg = fipm.MatchConfig(max_pos=4, score=0.6, tolerance_angle=12.0,
+                               compute_dtype=dt)
+        res[dt] = fipm.match(scene, pat, cfg)
+    assert len(res["bf16"]) == len(res["f32"]) == len(res["int8"]) == 2
+    for a, b, c in zip(res["bf16"], res["f32"], res["int8"]):
+        assert abs(a.score - b.score) < 5e-3
+        assert abs(a.score - c.score) < 5e-3
+        assert abs(a.pos_x - b.pos_x) < 0.75 and abs(a.pos_y - b.pos_y) < 0.75
+
+
+def test_quantize_warp_off():
+    """quantize_warp=False (fractional canvases, bf16 forced) must still
+    recover the planted rotated target within tolerance of the default."""
+    import cv2
+    import fastest_image_pattern_matching_tpu as fipm
+    rng = np.random.default_rng(23)
+    tpl = rng.integers(0, 255, (40, 52), dtype=np.uint8)
+    scene = rng.integers(70, 140, (240, 320), dtype=np.uint8)
+    diag = 80
+    canvas = np.zeros((diag, diag), np.uint8)
+    canvas[20:60, 14:66] = tpl
+    m = cv2.getRotationMatrix2D((39.5, 39.5), 25.0, 1)
+    rc = cv2.warpAffine(canvas, m, (diag, diag))
+    mask = cv2.warpAffine((canvas > 0).astype(np.uint8) * 255, m,
+                          (diag, diag), flags=cv2.INTER_NEAREST)
+    reg = scene[80:160, 120:200]
+    reg[mask > 0] = rc[mask > 0]
+    pat = fipm.learn_pattern(tpl, 256)
+    base_cfg = fipm.MatchConfig(max_pos=1, score=0.5, tolerance_angle=40.0)
+    a = fipm.match(scene, pat, base_cfg)
+    b = fipm.match(scene, pat, dataclasses.replace(base_cfg,
+                                                   quantize_warp=False))
+    assert len(a) == len(b) == 1
+    assert abs(a[0].angle - b[0].angle) < 0.5
+    assert abs(a[0].pos_x - b[0].pos_x) < 1.0
+    assert abs(a[0].score - b[0].score) < 0.02
+
+
+def test_max_candidates_cap():
+    """max_candidates trims the refinement set to the top scorers; with a
+    cap comfortably above the true target count, results are unchanged;
+    the pathological cap=1 still returns the single best target."""
+    import fastest_image_pattern_matching_tpu as fipm
+    rng = np.random.default_rng(31)
+    tpl = rng.integers(0, 255, (32, 32), dtype=np.uint8)
+    scene = rng.integers(90, 150, (220, 280), dtype=np.uint8)
+    for y, x in ((20, 30), (100, 120), (160, 220)):
+        scene[y:y + 32, x:x + 32] = tpl
+    pat = fipm.learn_pattern(tpl, 256)
+    full = fipm.match(scene, pat, fipm.MatchConfig(
+        max_pos=5, score=0.6, tolerance_angle=10.0))
+    capped = fipm.match(scene, pat, fipm.MatchConfig(
+        max_pos=5, score=0.6, tolerance_angle=10.0, max_candidates=64))
+    assert len(full) == len(capped) == 3
+    for a, b in zip(full, capped):
+        assert a.score == b.score and a.center == b.center
+    one = fipm.match(scene, pat, fipm.MatchConfig(
+        max_pos=5, score=0.6, tolerance_angle=10.0, max_candidates=1))
+    assert len(one) == 1 and one[0].score == full[0].score
