@@ -166,6 +166,11 @@ def warp_affine_dispatch(
     if impl == "sliced":
         return warp_affine_batch_sliced(src, inv_mats, out_hw, border_value,
                                         quantize=quantize)
+    if impl != "gather":
+        # A typo (e.g. via FIPM_WARP_IMPL) must fail loudly, not silently
+        # degrade to the slow gather path.
+        raise ValueError(f"unknown warp impl {impl!r} "
+                         "(expected gather|sliced|pallas)")
     return warp_affine_batch(src, inv_mats, out_hw, border_value,
                              quantize=quantize)
 
