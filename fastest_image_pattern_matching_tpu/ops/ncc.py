@@ -268,8 +268,12 @@ def ncc_score_map(
         ccorr_c = ccorr_shiftmm(sc, tc, compute_dtype)
     elif method == "banded":
         ccorr_c = ccorr_banded(sc, tc, compute_dtype)
-    else:
+    elif method == "conv":
         ccorr_c = ccorr_conv(sc, tc, compute_dtype)
+    else:
+        # A typo must fail loudly, not silently take the conv path.
+        raise ValueError(f"unknown correlation method {method!r} "
+                         "(expected auto|conv|shiftmm|banded|fft)")
     s1c = window_sums(sc, (h, w))
     s2c = window_sums(sc * sc, (h, w))
 

@@ -282,3 +282,13 @@ def test_ncc_shiftmm_int8_large_roi(rng):
     a = np.asarray(ccorr_shiftmm(sc, tc, "int8"))
     b = np.asarray(ccorr_conv(sc, tc, "f32"))
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_ncc_method_name_validated():
+    import jax.numpy as jnp
+    import pytest as _pytest
+    from fastest_image_pattern_matching_tpu.ops.ncc import ncc_score_map
+    c = jnp.zeros((1, 32, 32), jnp.float32) + 10.0
+    t = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
+    with _pytest.raises(ValueError, match="unknown correlation method"):
+        ncc_score_map(c, t, 31.5, 100.0, 1 / 64.0, False, "bf16", "covn")
