@@ -200,7 +200,8 @@ class AotMatcher:
         if not isinstance(src, jnp.ndarray):
             src = np.asarray(src)
             if src.ndim == 3 + batched:  # trailing channel axis
-                src = src[..., 0]
+                from .utils.imageio import ensure_gray
+                src = ensure_gray(src)
             if src.dtype != np.uint8:
                 lo, hi = float(src.min()), float(src.max())
                 if lo < 0.0 or hi > 255.0:

@@ -349,6 +349,7 @@ def _cmd_watch(args) -> int:
     pattern = learn_pattern(tpl, cfg.min_reduce_area)
 
     if args.camera is not None:
+        from .utils.imageio import ensure_gray
         from .utils.sources import VideoCaptureSource
         src_id = int(args.camera) if args.camera.isdigit() else args.camera
         n = 0
@@ -356,7 +357,7 @@ def _cmd_watch(args) -> int:
                                 latest_only=not args.every_frame) as cam:
             for frame in cam.frames():
                 if frame.ndim == 3:
-                    frame = frame[..., 0]
+                    frame = ensure_gray(frame)
                 t0 = time.perf_counter()
                 res = match(frame, pattern, cfg)
                 ms = (time.perf_counter() - t0) * 1000

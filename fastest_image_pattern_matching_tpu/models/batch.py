@@ -65,7 +65,8 @@ def _prepare_batch(srcs, pattern: LearnedPattern, cfg: MatchConfig,
     if not isinstance(srcs, jnp.ndarray):
         srcs = np.asarray(srcs)
     if srcs.ndim == 4:
-        srcs = srcs[..., 0]
+        from ..utils.imageio import ensure_gray
+        srcs = ensure_gray(srcs)
     if srcs.ndim != 3:
         raise ValueError(f"srcs must be [B, H, W], got shape {srcs.shape}")
     B = srcs.shape[0]
@@ -247,7 +248,8 @@ def match_patterns(src, patterns: Sequence[LearnedPattern],
     src_dev = src if isinstance(src, jnp.ndarray) else jnp.asarray(
         np.asarray(src), jnp.float32)
     if src_dev.ndim == 3:
-        src_dev = src_dev[..., 0]
+        from ..utils.imageio import ensure_gray
+        src_dev = ensure_gray(src_dev)
     if src_dev.dtype != jnp.float32:
         src_dev = src_dev.astype(jnp.float32)
 

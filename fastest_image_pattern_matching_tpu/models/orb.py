@@ -458,9 +458,11 @@ def orb_match(source: np.ndarray, template: np.ndarray,
     source = np.asarray(source)
     template = np.asarray(template)
     if source.ndim == 3:
-        source = source[..., 0]
+        from ..utils.imageio import ensure_gray
+        source = ensure_gray(source)
     if template.ndim == 3:
-        template = template[..., 0]
+        from ..utils.imageio import ensure_gray
+        template = ensure_gray(template)
 
     packed = np.asarray(_orb_core(cfg, seed)(
         jnp.asarray(source, jnp.float32),

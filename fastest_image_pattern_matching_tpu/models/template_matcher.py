@@ -82,7 +82,8 @@ def learn_pattern(templ: np.ndarray, min_reduce_area: int = 256,
     source frame by match() via MatchResult.project_points."""
     templ = np.asarray(templ)
     if templ.ndim == 3:
-        templ = templ[..., 0]
+        from ..utils.imageio import ensure_gray
+        templ = ensure_gray(templ)
     templ = templ.astype(np.float32)
     if roi is not None:
         x, y, w, h = (int(v) for v in roi)
@@ -809,7 +810,8 @@ def _prepare(src, pattern: LearnedPattern, cfg: MatchConfig):
     if not isinstance(src, jnp.ndarray):
         src = np.asarray(src)
     if src.ndim == 3:
-        src = src[..., 0]
+        from ..utils.imageio import ensure_gray
+        src = ensure_gray(src)
     # u8-value contract (the reference operates on 8-bit images throughout;
     # our int8 MXU path additionally relies on it for exactness). Host
     # arrays that are not already uint8 are validated loudly; device-
@@ -950,9 +952,11 @@ def match_template(src: np.ndarray, templ: np.ndarray,
     src = np.asarray(src)
     templ = np.asarray(templ)
     if src.ndim == 3:
-        src = src[..., 0]
+        from ..utils.imageio import ensure_gray
+        src = ensure_gray(src)
     if templ.ndim == 3:
-        templ = templ[..., 0]
+        from ..utils.imageio import ensure_gray
+        templ = ensure_gray(templ)
     area = templ.size
     mean = float(np.mean(templ, dtype=np.float64))
     var = float(np.mean((templ.astype(np.float64) - mean) ** 2))

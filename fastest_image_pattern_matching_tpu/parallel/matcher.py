@@ -105,7 +105,8 @@ def match_batch_sharded(
     mesh = mesh or make_mesh()
     srcs = np.asarray(srcs)
     if srcs.ndim == 4:
-        srcs = srcs[..., 0]
+        from ..utils.imageio import ensure_gray
+        srcs = ensure_gray(srcs)
     B = srcs.shape[0]
     nd, na = mesh.devices.shape
 

@@ -102,7 +102,13 @@ def install_stable_pallas_cache_keys() -> bool:
     except Exception as e:
         logger.warning("stable cache keys unavailable: %r", e)
         return False
-    orig = ck._hash_computation
+    # A JAX version that renames/removes the private hook must degrade to
+    # stock hashing, not break package import (the documented contract).
+    orig = getattr(ck, "_hash_computation", None)
+    if orig is None:
+        logger.warning("stable cache keys unavailable: "
+                       "jax._src.cache_key._hash_computation missing")
+        return False
 
     def _hash_computation_stable(hash_obj, module, *args, **kw):
         try:

@@ -70,6 +70,10 @@ class Translator:
                  lang_file: Optional[str] = None):
         self.lang = lang
         self.table: Dict[str, str] = {}
+        if bool(lang) != bool(lang_file):
+            raise ValueError(
+                "lang and lang_file must be given together "
+                f"(got lang={lang!r}, lang_file={lang_file!r})")
         if lang_file and lang:
             langs = parse_lang_file(lang_file)
             if lang not in langs:

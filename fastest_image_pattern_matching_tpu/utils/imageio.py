@@ -13,6 +13,40 @@ import os
 import numpy as np
 
 
+def ensure_gray(img, channel_axis_only: bool = False):
+    """Collapse a trailing channel axis of an in-memory image (or batch).
+
+    Size-1 axes are squeezed; 3-channel (BGR, the cv2 load order the
+    reference uses throughout, MatchToolDlg.cpp:506-525) is converted with
+    BT.601 luma exactly like cv::cvtColor(BGR2GRAY): fixed-point for uint8
+    inputs, float weights otherwise. Works on numpy and jax arrays; leaves
+    channel-less input untouched. `channel_axis_only=True` raises instead
+    of converting (callers that require pre-grayscaled input)."""
+    ch = img.shape[-1]
+    if ch == 1:
+        return img[..., 0]
+    if ch not in (3, 4):
+        raise ValueError(f"expected 1/3/4 channels, got trailing axis {ch}")
+    if channel_axis_only:
+        raise ValueError("grayscale input required (H, W); convert color "
+                         "frames with utils.imageio.ensure_gray first")
+    img = img[..., :3]
+    if isinstance(img, np.ndarray):
+        if img.dtype == np.uint8:
+            # cv2's fixed-point BGR2GRAY (15-bit coefficients; verified
+            # bit-exact vs cv::cvtColor on the installed runtime).
+            v = (img[..., 0].astype(np.uint32) * 3735
+                 + img[..., 1].astype(np.uint32) * 19235
+                 + img[..., 2].astype(np.uint32) * 9798 + 16384) >> 15
+            return v.astype(np.uint8)
+        return (img[..., 0] * 0.114 + img[..., 1] * 0.587
+                + img[..., 2] * 0.299).astype(img.dtype)
+    import jax.numpy as jnp
+    f = img.astype(jnp.float32)
+    v = f[..., 0] * 0.114 + f[..., 1] * 0.587 + f[..., 2] * 0.299
+    return jnp.round(v)
+
+
 def load_gray(path: str) -> np.ndarray:
     """Load an image as 2D uint8 grayscale (BT.601 luma for color inputs,
     matching cv::cvtColor BGR2GRAY)."""

@@ -86,3 +86,11 @@ def test_cli_lang_output(tmp_path, lang_file):
     out = buf.getvalue()
     assert rc == 0
     assert "Laufzeit" in out and "Punktzahl" in out
+
+
+def test_lang_without_file_errors():
+    import pytest
+    with pytest.raises(ValueError):
+        Translator("Deutsch", None)
+    with pytest.raises(ValueError):
+        Translator(None, "/tmp/nonexistent.lang")
