@@ -473,7 +473,13 @@ def build_stages(plan: _Plan, stats, thr=None):
         # FilterWithScore (MatchToolDlg.cpp:1481-1497): sort desc + cut.
         ok = alive & (score >= thr[0])
         svals = jnp.where(ok, score, jnp.float32(-1.0))
-        order = jnp.argsort(-svals, stable=True)
+        # Deterministic tie-break (score desc, then y, x, angle): the greedy
+        # NMS order must not depend on candidate array order, which differs
+        # between the single-chip descent and the angle-sharded descent
+        # (parallel/matcher.py) — exact ties would otherwise make
+        # sharded != single-chip.
+        order = jnp.lexsort((final_ang, final_pt[:, 0], final_pt[:, 1],
+                             -svals))
         score_s = svals[order]
         pt_s = final_pt[order]
         ang_s = final_ang[order]

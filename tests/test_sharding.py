@@ -73,3 +73,80 @@ def test_sharded_batch_not_multiple_of_data_axis(setup):
     out = match_batch_sharded(scenes, pat, cfg, mesh)  # B=3 on data=2
     assert out["valid"].shape[0] == 3
     assert out["valid"][1].sum() == 1
+
+
+def test_sharded_nms_overflow_redispatch(setup):
+    """Force more above-threshold candidates than the NMS cap: the sharded
+    path must re-dispatch uncapped and still equal single-chip (the round-3
+    gap: parallel returned the capped result silently)."""
+    rng = np.random.default_rng(5)
+    t = np.full((24, 24), 40, np.uint8)
+    cv2.rectangle(t, (3, 3), (20, 20), 220, 2)
+    cv2.line(t, (5, 18), (18, 5), 255, 2)
+    # Dense grid of targets; the template is ~180-deg symmetric, so the
+    # full-circle sweep yields ~2 above-threshold candidates per target —
+    # more than nms_cap (4*max_pos+64), forcing the overflow flag.
+    scene = rng.integers(0, 25, size=(360, 360), dtype=np.uint8)
+    for y in range(10, 330, 33):
+        for x in range(10, 330, 33):
+            scene[y:y + 24, x:x + 24] = t
+    pat = learn_pattern(t, 256)
+    cfg = MatchConfig(max_pos=20, score=0.5, tolerance_angle=180.0,
+                      max_overlap=0.5)
+    from fastest_image_pattern_matching_tpu.models.template_matcher import (
+        _make_plan)
+    plan = _make_plan(scene.shape, pat, cfg)
+    assert plan.nms_cap < plan.c_max, "config must exercise the capped path"
+
+    ref = match_arrays(scene, pat, cfg)
+    assert ref["valid"].sum() == 20
+    from fastest_image_pattern_matching_tpu.parallel import matcher as pm
+    pm._compiled_sharded.cache_clear()
+    out = match_batch_sharded(scene[None], pat, cfg, make_mesh((1, 8)))
+    # Overflow must have fired the uncapped re-dispatch (a second program).
+    assert pm._compiled_sharded.cache_info().misses == 2
+    np.testing.assert_array_equal(out["valid"][0], ref["valid"])
+    np.testing.assert_allclose(out["score"][0], ref["score"], atol=1e-5)
+    np.testing.assert_allclose(out["center"][0], ref["center"], atol=1e-3)
+
+
+def test_sharded_program_reused_across_scores(setup):
+    """Score-only config changes must reuse the compiled sharded program
+    (thresholds are traced, like the single-chip path)."""
+    from fastest_image_pattern_matching_tpu.parallel import matcher as pm
+    t, scenes = setup
+    pat = learn_pattern(t, 256)
+    mesh = make_mesh((2, 4))
+    pm._compiled_sharded.cache_clear()
+    out1 = match_batch_sharded(scenes, pat,
+                               MatchConfig(max_pos=4, score=0.7,
+                                           tolerance_angle=180.0), mesh)
+    h1 = pm._compiled_sharded.cache_info()
+    out2 = match_batch_sharded(scenes, pat,
+                               MatchConfig(max_pos=4, score=0.9,
+                                           tolerance_angle=180.0), mesh)
+    h2 = pm._compiled_sharded.cache_info()
+    assert h2.misses == h1.misses == 1  # second score was a cache hit
+    assert out2["valid"].sum() <= out1["valid"].sum()
+    # And the higher threshold actually filtered.
+    ref = match_arrays(scenes[0], pat,
+                       MatchConfig(max_pos=4, score=0.9,
+                                   tolerance_angle=180.0))
+    np.testing.assert_array_equal(out2["valid"][0], ref["valid"])
+
+
+def test_sharded_dual_range_and_fast_mode(setup):
+    """Dual tolerance ranges and fast_mode through the sharded path."""
+    t, scenes = setup
+    pat = learn_pattern(t, 256)
+    for cfg in (MatchConfig(max_pos=4, score=0.7,
+                            tolerance_ranges=(-10.0, 10.0, 170.0, 190.0)),
+                MatchConfig(max_pos=4, score=0.6, tolerance_angle=30.0,
+                            fast_mode=True)):
+        out = match_batch_sharded(scenes, pat, cfg, make_mesh((2, 4)))
+        for b in range(scenes.shape[0]):
+            ref = match_arrays(scenes[b], pat, cfg)
+            np.testing.assert_array_equal(out["valid"][b], ref["valid"])
+            nv = ref["valid"].sum()
+            np.testing.assert_allclose(out["score"][b][:nv],
+                                       ref["score"][:nv], atol=1e-5)
