@@ -25,7 +25,9 @@ from .models.template_matcher import (TemplateMatcher, learn_pattern, match,
                                       match_template)
 from .models.batch import (BatchMatcher, match_many, match_many_arrays,
                            match_patterns)
-from .aot import AotMatcher, export_match_pack
+from .aot import (AotMatcher, AotOrb, export_match_pack,
+                  export_orb_pack)
+from .models.orb import ORBConfig, ORBResult, orb_match, orb_match_many
 
 __version__ = "0.3.0"
 
@@ -34,5 +36,6 @@ __all__ = [
     "TemplateMatcher", "learn_pattern", "match", "match_arrays",
     "match_candidates", "match_template",
     "BatchMatcher", "match_many", "match_many_arrays", "match_patterns",
-    "AotMatcher", "export_match_pack",
+    "AotMatcher", "AotOrb", "export_match_pack", "export_orb_pack",
+    "ORBConfig", "ORBResult", "orb_match", "orb_match_many",
 ]

@@ -263,3 +263,166 @@ class AotMatcher:
             results.append(_batch._results_from_arrays(wrapped, 0,
                                                        self.pattern))
         return results
+
+
+# ---------------------------------------------------------------------------
+# ORB AOT packs — serving parity for the secondary matcher.
+# The reference's ORB path is an interactive rerun-per-pair desktop flow
+# (ORBMatch/ORBFeatureMatcher.cpp:21-201); a TPU service instead freezes
+# the whole detect/match/RANSAC program per (config, shapes) so a fresh
+# process skips tracing, exactly like the NCC packs above.
+
+
+def export_orb_pack(path: str, cfg, src_shape: Tuple[int, int],
+                    templ_shape: Tuple[int, int],
+                    batch_sizes: Sequence[int] = (), seed: int = 0,
+                    log=None) -> Dict[str, float]:
+    """Export the compiled ORB pipeline for fixed source/template shapes.
+
+    batch_sizes: orb_match_many bucket sizes to additionally export
+    (template described once, B sources matched in one program)."""
+    from .models import orb as _orb
+    import time
+    cfg = cfg or _orb.ORBConfig()
+    src_shape = (int(src_shape[0]), int(src_shape[1]))
+    templ_shape = (int(templ_shape[0]), int(templ_shape[1]))
+    dummy_s = jax.ShapeDtypeStruct(src_shape, jnp.float32)
+    dummy_t = jax.ShapeDtypeStruct(templ_shape, jnp.float32)
+
+    timings: Dict[str, float] = {}
+    t0 = time.perf_counter()
+    blob_single = _export_fn(_orb._orb_core(cfg, seed), (dummy_s, dummy_t))
+    timings["single"] = time.perf_counter() - t0
+    batch_blobs = {}
+    for b in sorted(set(int(b) for b in batch_sizes)):
+        dummy_b = jax.ShapeDtypeStruct((b,) + src_shape, jnp.float32)
+        t0 = time.perf_counter()
+        batch_blobs[b] = _export_fn(_orb._orb_core_many(cfg, seed),
+                                    (dummy_b, dummy_t))
+        timings[f"batch_{b}"] = time.perf_counter() - t0
+
+    arrs = {
+        "format_version": np.int64(_FORMAT_VERSION),
+        "kind": np.frombuffer(b"orb", np.uint8),
+        "jax_version": np.frombuffer(jax.__version__.encode(), np.uint8),
+        "platforms": np.frombuffer(
+            json.dumps(_platforms_of(blob_single)).encode(), np.uint8),
+        "cfg_json": np.frombuffer(
+            json.dumps(dataclasses.asdict(cfg)).encode(), np.uint8),
+        "seed": np.int64(seed),
+        "src_shape": np.asarray(src_shape, np.int64),
+        "templ_shape": np.asarray(templ_shape, np.int64),
+        "exp_single": np.frombuffer(blob_single, np.uint8),
+    }
+    for b, blob in batch_blobs.items():
+        arrs[f"exp_batch_{b}"] = np.frombuffer(blob, np.uint8)
+    with open(path, "wb") as f:
+        np.savez(f, **arrs)
+    if log:
+        log(f"orb pack {path}: "
+            f"{sum(len(np.asarray(v).tobytes()) for v in arrs.values())/1e6:.2f}"
+            f" MB, programs={1 + len(batch_blobs)}")
+    return timings
+
+
+class AotOrb:
+    """ORB pipeline loaded from an exported pack — no tracing.
+
+    Usage:
+        m = AotOrb.load("orb.fipm-aot.npz")
+        res = m.match(source, template)         # ORBResult
+        res_list = m.match_many(sources, template)
+    """
+
+    def __init__(self, cfg, seed: int, src_shape, templ_shape, fns,
+                 platforms):
+        self.config = cfg
+        self.seed = seed
+        self.src_shape = src_shape
+        self.templ_shape = templ_shape
+        self.platforms = platforms
+        self._fns = fns
+
+    @classmethod
+    def load(cls, path: str) -> "AotOrb":
+        from jax import export as jexport
+        from .models.orb import ORBConfig
+        data = np.load(path)
+        ver = int(data["format_version"])
+        if ver != _FORMAT_VERSION:
+            raise ValueError(f"unsupported pack version {ver}")
+        if "kind" not in data.files or bytes(data["kind"]) != b"orb":
+            raise ValueError(f"{path} is not an ORB pack")
+        cfg = ORBConfig(**json.loads(bytes(data["cfg_json"]).decode()))
+        src_shape = tuple(int(v) for v in data["src_shape"])
+        templ_shape = tuple(int(v) for v in data["templ_shape"])
+        platforms = json.loads(bytes(data["platforms"]).decode())
+        backend = jax.default_backend()
+
+        def norm(p):
+            return {"axon": "tpu"}.get(p, p)
+        if norm(backend) not in {norm(p) for p in platforms}:
+            raise ValueError(
+                f"pack was exported for {platforms}, current backend is "
+                f"{backend!r} — re-export on this platform")
+        fns = {}
+        for key in data.files:
+            if key.startswith("exp_"):
+                exp = jexport.deserialize(bytes(data[key]))
+                fns[key[4:]] = jax.jit(exp.call)
+        return cls(cfg, int(data["seed"]), src_shape, templ_shape, fns,
+                   platforms)
+
+    @property
+    def batch_sizes(self) -> List[int]:
+        return sorted(int(k.split("_")[1]) for k in self._fns
+                      if k.startswith("batch_"))
+
+    def _check(self, source, templ):
+        from .utils.imageio import ensure_gray
+        source = np.asarray(source)
+        templ = np.asarray(templ)
+        if source.ndim == len(self.src_shape) + 1:
+            source = ensure_gray(source)
+        if templ.ndim == 3:
+            templ = ensure_gray(templ)
+        if tuple(templ.shape) != self.templ_shape:
+            raise ValueError(f"pack serves templates of shape "
+                             f"{self.templ_shape}, got {templ.shape}")
+        return source, templ
+
+    def match(self, source, template, physics_shift_mm: float = 8.0):
+        from .models.orb import _result_from_packed
+        source, template = self._check(source, template)
+        if tuple(source.shape) != self.src_shape:
+            raise ValueError(f"pack serves frames of shape {self.src_shape},"
+                             f" got {source.shape}")
+        packed = np.asarray(self._fns["single"](
+            jnp.asarray(source, jnp.float32),
+            jnp.asarray(template, jnp.float32)))
+        return _result_from_packed(packed, template.shape, physics_shift_mm)
+
+    def match_many(self, sources, template, physics_shift_mm: float = 8.0):
+        from .models.orb import _result_from_packed
+        sources = np.asarray(sources)
+        if sources.ndim == 4:
+            from .utils.imageio import ensure_gray
+            sources = ensure_gray(sources)
+        _, template = self._check(np.zeros(self.src_shape, np.uint8),
+                                  template)
+        if sources.ndim != 3 or tuple(sources.shape[1:]) != self.src_shape:
+            raise ValueError(
+                f"sources must be [B, {self.src_shape[0]}, "
+                f"{self.src_shape[1]}], got {tuple(sources.shape)}")
+        B = sources.shape[0]
+        buckets = [b for b in self.batch_sizes if b >= B]
+        if not buckets:
+            raise ValueError(f"no exported batch program fits B={B} "
+                             f"(exported buckets: {self.batch_sizes})")
+        b = buckets[0]
+        srcs = np.pad(sources.astype(np.float32),
+                      ((0, b - B), (0, 0), (0, 0)))
+        packed = np.asarray(self._fns[f"batch_{b}"](
+            jnp.asarray(srcs), jnp.asarray(template, jnp.float32)))
+        return [_result_from_packed(packed[i], template.shape,
+                                    physics_shift_mm) for i in range(B)]

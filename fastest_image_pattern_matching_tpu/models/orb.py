@@ -412,6 +412,41 @@ def ransac_homography(src: jnp.ndarray, dst: jnp.ndarray, valid: jnp.ndarray,
     return H_lo[pick], m_lo[pick]
 
 
+def _orb_pipeline(cfg: ORBConfig, seed: int, source, template):
+    """Traced single-pair pipeline body shared by _orb_core (one pair),
+    _orb_core_many (one template vs a source batch) and the AOT export.
+    Returns the packed f32 result vector (see _orb_core docstring)."""
+    pt, dt, vt = detect_and_describe(template, cfg)
+    return _match_against(cfg, seed, source, (pt, dt, vt))
+
+
+def _match_against(cfg: ORBConfig, seed: int, source, templ_feats):
+    pt, dt, vt = templ_feats
+    ps, ds, vs = detect_and_describe(source, cfg)
+    ti, dist = hamming_match(ds, vs, dt, vt)
+    n_finite = jnp.sum(jnp.isfinite(dist).astype(jnp.int32))
+    N = min(cfg.max_good_matches, dist.shape[0])
+    neg = jnp.where(jnp.isfinite(dist), -dist, -jnp.inf)
+    _, order = jax.lax.top_k(neg, N)
+    s_pts = ps[order]
+    t_pts = pt[ti[order]]
+    good_valid = jnp.isfinite(dist[order])
+    H, mask = ransac_homography(s_pts, t_pts, good_valid,
+                                cfg.ransac_threshold, cfg.ransac_iters,
+                                seed)
+    # ONE packed f32 output: each separately-fetched leaf costs a
+    # serialized-tunnel round trip (~24 ms) on axon; six leaves made
+    # host assembly 3x the compute time.
+    return jnp.concatenate([
+        H.reshape(9).astype(jnp.float32),
+        jnp.float32(n_finite)[None],
+        mask.astype(jnp.float32),
+        good_valid.astype(jnp.float32),
+        s_pts.reshape(2 * N).astype(jnp.float32),
+        t_pts.reshape(2 * N).astype(jnp.float32),
+    ])
+
+
 @functools.lru_cache(maxsize=16)
 def _orb_core(cfg: ORBConfig, seed: int):
     """The whole device pipeline — detect both images, Hamming match,
@@ -420,30 +455,21 @@ def _orb_core(cfg: ORBConfig, seed: int):
     hundreds of eager op round trips (the axon tunnel charges ~24 ms
     each; eager ORB measured minutes per call through it)."""
     def fn(source, template):
-        ps, ds, vs = detect_and_describe(source, cfg)
-        pt, dt, vt = detect_and_describe(template, cfg)
-        ti, dist = hamming_match(ds, vs, dt, vt)
-        n_finite = jnp.sum(jnp.isfinite(dist).astype(jnp.int32))
-        N = min(cfg.max_good_matches, dist.shape[0])
-        neg = jnp.where(jnp.isfinite(dist), -dist, -jnp.inf)
-        _, order = jax.lax.top_k(neg, N)
-        s_pts = ps[order]
-        t_pts = pt[ti[order]]
-        good_valid = jnp.isfinite(dist[order])
-        H, mask = ransac_homography(s_pts, t_pts, good_valid,
-                                    cfg.ransac_threshold, cfg.ransac_iters,
-                                    seed)
-        # ONE packed f32 output: each separately-fetched leaf costs a
-        # serialized-tunnel round trip (~24 ms) on axon; six leaves made
-        # host assembly 3x the compute time.
-        return jnp.concatenate([
-            H.reshape(9).astype(jnp.float32),
-            jnp.float32(n_finite)[None],
-            mask.astype(jnp.float32),
-            good_valid.astype(jnp.float32),
-            s_pts.reshape(2 * N).astype(jnp.float32),
-            t_pts.reshape(2 * N).astype(jnp.float32),
-        ])
+        return _orb_pipeline(cfg, seed, source, template)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _orb_core_many(cfg: ORBConfig, seed: int):
+    """Batched serving variant: the template is detected+described ONCE,
+    then every source in the batch is matched against it under lax.map —
+    one dispatch for B pairs (the reference reruns the whole interactive
+    pipeline per pair, ORBFeatureMatcher.cpp:21)."""
+    def fn(sources, template):
+        templ_feats = detect_and_describe(template, cfg)
+        return jax.lax.map(
+            lambda s: _match_against(cfg, seed, s, templ_feats), sources)
 
     return jax.jit(fn)
 
@@ -467,6 +493,13 @@ def orb_match(source: np.ndarray, template: np.ndarray,
     packed = np.asarray(_orb_core(cfg, seed)(
         jnp.asarray(source, jnp.float32),
         jnp.asarray(template, jnp.float32)))  # single host transfer
+    return _result_from_packed(packed, template.shape, physics_shift_mm)
+
+
+def _result_from_packed(packed: np.ndarray, templ_hw,
+                        physics_shift_mm: float) -> ORBResult:
+    """Host-side result assembly from the packed device vector
+    (ORBFeatureMatcher.cpp:141-185 inlier stats + :329-371 corners)."""
     N = (packed.shape[0] - 10) // 6
     Hnp = packed[:9].astype(np.float64).reshape(3, 3)
     n_finite = int(packed[9])
@@ -487,7 +520,7 @@ def orb_match(source: np.ndarray, template: np.ndarray,
 
     # Template corners in the source frame: perspectiveTransform with
     # H^-1 (:340-353).
-    h, w = template.shape
+    h, w = templ_hw
     tc = np.array([[0, 0], [w, 0], [w, h], [0, h]], np.float64)
     Hinv = np.linalg.inv(Hnp)
     ph = np.concatenate([tc, np.ones((4, 1))], axis=1) @ Hinv.T
@@ -499,3 +532,28 @@ def orb_match(source: np.ndarray, template: np.ndarray,
         avg_pixel_shift=avg_shift, corners=corners,
         src_pts=s_np, dst_pts=t_np, inlier_mask=mask_np,
         scale_mm_per_pix=scale_mm, rotation_angle=rot_deg)
+
+
+def orb_match_many(sources, template: np.ndarray,
+                   cfg: Optional[ORBConfig] = None, seed: int = 0,
+                   physics_shift_mm: float = 8.0):
+    """Match one template against a batch of same-shape sources in ONE
+    compiled dispatch (template features computed once) — the serving
+    analogue of repeated interactive ORB runs
+    (ORBFeatureMatcher.cpp:21). Returns a list of ORBResult."""
+    cfg = cfg or ORBConfig()
+    sources = np.asarray(sources)
+    if sources.ndim == 4:
+        from ..utils.imageio import ensure_gray
+        sources = ensure_gray(sources)
+    template = np.asarray(template)
+    if template.ndim == 3:
+        from ..utils.imageio import ensure_gray
+        template = ensure_gray(template)
+    if sources.ndim != 3:
+        raise ValueError(f"sources must be [B, H, W], got {sources.shape}")
+    packed = np.asarray(_orb_core_many(cfg, seed)(
+        jnp.asarray(sources, jnp.float32),
+        jnp.asarray(template, jnp.float32)))  # [B, L], single transfer
+    return [_result_from_packed(packed[b], template.shape, physics_shift_mm)
+            for b in range(packed.shape[0])]

@@ -23,7 +23,13 @@ sys.path.insert(0, ".")
 
 
 def main():
+    import os
     import jax
+    # sitecustomize pre-imports jax with the axon TPU platform; env vars
+    # are read too early — re-apply the requested platform via config.
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        jax.config.update("jax_platforms", want)
     import cv2
     import fastest_image_pattern_matching_tpu as fipm
     from fastest_image_pattern_matching_tpu.parallel.matcher import (
@@ -62,9 +68,100 @@ def main():
 
     base = results[sizes[0]]
     effs = {nd: results[nd] / (base * nd / sizes[0]) for nd in sizes}
+
+    # Per-device compute vs angle-axis size: XLA cost analysis of the
+    # compiled SPMD module. With the sweep AND descent sharded over
+    # 'angle' (round 4), per-device FLOPs must fall ~1/na; before, the
+    # descent was replicated and the curve flattened at the sweep
+    # fraction. This is the op-count evidence SCALING asks for (virtual
+    # CPU devices share cores, so wall-clock cannot show it).
+    from fastest_image_pattern_matching_tpu.models.template_matcher import (
+        _shared_plan)
+    from fastest_image_pattern_matching_tpu.parallel.matcher import (
+        _compiled_sharded, _prep_sharded_args)
+    flops_by_na = {}
+    for na in [s for s in (1, 2, 4, 8) if s <= n]:
+        mesh = make_mesh((1, na), devices=jax.devices()[:na])
+        plan, ekey, _spans, call_args, _b = _prep_sharded_args(
+            scenes[:1], pattern, cfg, mesh)
+        comp = _compiled_sharded(_shared_plan(plan), ekey, mesh).lower(
+            *call_args[1:]).compile()
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops_by_na[na] = float(ca["flops"])
+        print(f"angle axis na={na}: per-device GFLOP "
+              f"{flops_by_na[na] / 1e9:.3f}", flush=True)
+    f1 = flops_by_na.get(1)
+    flops_frac = {str(k): round(v / f1, 4) for k, v in flops_by_na.items()} \
+        if f1 else {}
+
+    # Descent-specific per-device work: each angle-axis device descends
+    # ceil(C/na) of the C candidates (parallel/matcher.py shard_c). Lower
+    # st.descend at exactly that candidate count and read XLA's flop
+    # count — the direct "per-device descent work ∝ 1/na" evidence.
+    # (The total-flops table above includes a replicated floor that is
+    # deliberate MXU overprovisioning — the banded pyr_down matmuls and
+    # the one-hot NMS clips are flop-heavy but wall-cheap.)
+    import jax.numpy as jnp
+    from fastest_image_pattern_matching_tpu.models.template_matcher import (
+        _make_plan, _top_sweep_arrays, build_stages)
+    from fastest_image_pattern_matching_tpu.ops.pyramid import build_pyramid
+    plan = _make_plan(scenes.shape[1:], pattern, cfg)
+    stats = tuple((lv.mean, lv.norm, lv.inv_area, lv.result_equal1)
+                  for lv in pattern.levels)
+    st = build_stages(plan, stats)
+    inv, trans, vwh, angs = _top_sweep_arrays(plan)
+    templs = tuple(jnp.asarray(lv.templ) for lv in pattern.levels)
+    pyr = [jnp.asarray(p) for p in jax.jit(build_pyramid, static_argnums=1)(
+        jnp.asarray(scenes[0], jnp.float32), plan.top)]
+    vals, locs = jax.jit(st.sweep_maps)(pyr[plan.top], templs[plan.top],
+                                        jnp.asarray(inv), jnp.asarray(vwh))
+    pt, ang, score, alive = jax.jit(st.select_candidates)(
+        vals, locs, jnp.asarray(trans), jnp.asarray(angs))
+    C = pt.shape[0]
+    descent_flops = {}
+    # Lower with one full-size candidate chunk: XLA's cost analysis counts
+    # a while-loop body once regardless of trip count, so the production
+    # chunked pipeline hides the candidate-count scaling from the metric
+    # (at runtime the loop trips scale with alive candidates instead).
+    from fastest_image_pattern_matching_tpu.models import (
+        template_matcher as tm)
+    saved_budget = tm._CHUNK_BUDGET_ELEMS
+    saved_chunk = tm._descend_chunk
+    tm._CHUNK_BUDGET_ELEMS = 1 << 62
+    tm._descend_chunk = lambda roi_hw, templ_px, k_ang: 1 << 30
+    try:
+        st_big = build_stages(plan, stats)
+        for na in [s for s in (1, 2, 4, 8) if s <= n]:
+            cl = -(-C // na)
+            comp = jax.jit(lambda *a: st_big.descend(*a)).lower(
+                pyr, templs, pt[:cl], ang[:cl], score[:cl],
+                alive[:cl]).compile()
+            ca = comp.cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            descent_flops[na] = float(ca["flops"])
+            print(f"descent per-device (na={na}, {cl}/{C} candidates): "
+                  f"{descent_flops[na] / 1e6:.1f} MFLOP", flush=True)
+    finally:
+        tm._CHUNK_BUDGET_ELEMS = saved_budget
+        tm._descend_chunk = saved_chunk
+    d1 = descent_flops.get(1)
+    descent_frac = {str(k): round(v / d1, 4)
+                    for k, v in descent_flops.items()} if d1 else {}
+
     print(json.dumps({
         "throughput_img_s": results,
         "scaling_efficiency": {str(k): round(v, 3) for k, v in effs.items()},
+        "per_device_flops_vs_angle_axis": flops_by_na,
+        "per_device_flops_fraction_of_na1": flops_frac,
+        "descent_per_device_flops": descent_flops,
+        "descent_per_device_fraction_of_na1": descent_frac,
+        "note": ("virtual CPU devices share physical cores: throughput "
+                 "validates mechanism only; the flops tables are the "
+                 "per-device work evidence (sweep+descent shard over "
+                 "'angle'; the total includes a replicated floor from "
+                 "deliberately MXU-overprovisioned pyr_down/NMS one-hot "
+                 "matmuls, flop-heavy but wall-cheap)"),
     }))
 
 
