@@ -224,11 +224,15 @@ def ncc_score_map(
       "banded"  — scan of banded-Toeplitz matmuls; the many-target regime
                   (small template over a huge map), where XLA's
                   single-channel conv lowering runs ~5 GMAC/s.
+      "tiledband" — the Pallas column-tiled band kernel
+                  (ops/pallas/corr_kernel.py): same regime as "banded"
+                  but ~12x fewer issued MACs and one canvas read instead
+                  of h; exact. TPU backends (interpret-mode elsewhere).
       "fft"     — frequency-domain correlation (large template x large
                   search area; not bit-exact, ~1e-7 relative).
-      "auto"    — shiftmm when Ho*Wo<=512 and h*w>4096; else banded when
-                  the map is big (Ho*Wo>65536) and the band fits; else
-                  fft/conv by operation-count estimate.
+      "auto"    — shiftmm when Ho*Wo<=512 and h*w>4096; else
+                  tiledband/banded when the map is big (Ho*Wo>65536);
+                  else fft/conv by operation-count estimate.
     """
     h, w = templ.shape
     B, H, W = canvases.shape
@@ -255,11 +259,25 @@ def ncc_score_map(
             fft_cost = 4000.0 * H * W * _math.log2(max(H * W, 2))
             banded_cost = float(h) * Ho * W * Wo  # full-MXU-rate MACs
             banded_ok = h * W * Wo <= _BANDED_BUDGET_ELEMS
-            if Ho * Wo > 65536 and banded_ok and banded_cost < fft_cost:
-                # Big score map: XLA's single-channel conv is hopeless
-                # (~5 GMAC/s measured); the banded-matmul form is exact
-                # and runs at MXU rate.
-                method = "banded"
+            if Ho * Wo > 65536:
+                import os as _os
+                from .pallas.corr_kernel import eligible as _tb_ok
+                on_tpu = jax.default_backend() in ("tpu", "axon")
+                if (on_tpu and _tb_ok(h, w)
+                        and _os.environ.get("FIPM_TILEDBAND", "1") != "0"):
+                    # Big score map, small template: the Pallas tiled-band
+                    # kernel (one canvas read, ~6x MAC expansion vs the
+                    # full-width band's ~70x). On-chip A/B: see
+                    # ROOFLINE_r04.json.
+                    method = "tiledband"
+                elif banded_ok and banded_cost < fft_cost:
+                    # Fallback (CPU tests / oversize templates): XLA's
+                    # single-channel conv is hopeless (~5 GMAC/s
+                    # measured); the banded-matmul form is exact and runs
+                    # at MXU rate.
+                    method = "banded"
+                else:
+                    method = "fft" if conv_cost > fft_cost else "conv"
             else:
                 method = "fft" if conv_cost > fft_cost else "conv"
     if method == "fft":
@@ -268,12 +286,17 @@ def ncc_score_map(
         ccorr_c = ccorr_shiftmm(sc, tc, compute_dtype)
     elif method == "banded":
         ccorr_c = ccorr_banded(sc, tc, compute_dtype)
+    elif method == "tiledband":
+        from .pallas.corr_kernel import ccorr_tiledband_pallas
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        ccorr_c = ccorr_tiledband_pallas(sc, tc, compute_dtype,
+                                         interpret=not on_tpu)
     elif method == "conv":
         ccorr_c = ccorr_conv(sc, tc, compute_dtype)
     else:
         # A typo must fail loudly, not silently take the conv path.
         raise ValueError(f"unknown correlation method {method!r} "
-                         "(expected auto|conv|shiftmm|banded|fft)")
+                         "(expected auto|conv|shiftmm|banded|tiledband|fft)")
     s1c = window_sums(sc, (h, w))
     s2c = window_sums(sc * sc, (h, w))
 

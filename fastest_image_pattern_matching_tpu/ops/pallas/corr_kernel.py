@@ -1,0 +1,219 @@
+"""Pallas TPU kernel: tiled-band cross-correlation for the many-target
+regime (small template over a huge score map — the reference's BlockMax
+tests, README.md:23-29; MatchTemplate hot loop MatchToolDlg.cpp:1275-1311).
+
+Why: XLA lowers a single-input-channel conv catastrophically (~5 GMAC/s
+measured), and the round-3 full-width banded-Toeplitz form issues
+W/w ~ 70x the algorithmic MACs AND re-reads the canvas from HBM once per
+template row (ROOFLINE_r03: effective_frac <= 1.1%). This kernel fixes
+both at once:
+
+  * Column tiling: the output is computed in TX=128-lane stripes. A
+    stripe needs canvas lanes [i*TX, i*TX + TX + w - 1) — delivered as
+    TWO adjacent 128-lane column blocks of the padded canvas (Pallas
+    BlockSpec pipelining; no im2col materialization in HBM). The band
+    contraction is then TX + w - 1 deep instead of W deep: issued-MAC
+    expansion drops from W/w (~70x) to (TX + pad(w-1))/w (~5.9x for
+    w = 27).
+  * VMEM residency: each canvas block is fetched O(1) times and all h
+    template rows contract against it from VMEM, instead of h HBM
+    passes.
+
+Row-shift alignment (the part that shapes the kernel): Mosaic only
+allows dynamic/cheap memory access at sublane-tile granularity, but the
+band contraction needs row shifts slab[y+dy] for every dy in [0, h).
+Writing dy = 8q + r, the kernel materializes the 8 sublane ROTATIONS
+r = 0..7 of the slab into VMEM scratch once per grid step (8 static
+shuffle copies), after which every (q, ty) access is tile-aligned and
+free. The h dots per output tile then merge into 8 deep-K dots (one per
+residue r, contraction nq_r * TX deep) — MXU-shaped work instead of h
+latency-bound K=128 dots interleaved with h unaligned shuffles.
+
+out[y, v] (stripe i) = sum_dy slab[y + dy, :] @ Band[dy],
+Band[dy][k, v] = T[dy, k - v] (0 <= k - v < w), split at the TX lane
+boundary into an A part (K = TX) against column block i and a B part
+(K = pad(w-1, 32)) against block i+1.
+
+Precision follows the repo's centered-u8 scheme (ops/ncc.py module doc):
+bf16 inputs with f32 accumulation are exact on integer-valued canvases;
+int8 with int32 accumulation is exact under the h*w*128^2 < 2^31 bound.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TX = 128    # output stripe lanes (MXU columns)
+TY = 256    # output rows per accumulator tile (MXU rows)
+NYG = 4     # row tiles per grid step (bounds VMEM for the rot scratch)
+
+# Eligibility bounds (callers gate on these; asserted here).
+MAX_W = TX + 1   # two column blocks cover TX + w - 1 <= 2*TX lanes
+MAX_H = 64       # grouped bands must stay small in VMEM
+
+
+def eligible(h: int, w: int) -> bool:
+    return 2 <= w <= MAX_W and 1 <= h <= MAX_H
+
+
+def _w1p(w: int) -> int:
+    """B-part contraction depth: w-1 padded to the int8 sublane tile."""
+    return (w - 1 + 31) // 32 * 32
+
+
+def _build_bands(templ_c: jnp.ndarray, dtype):
+    """Residue-grouped banded-Toeplitz matrices.
+
+    bandsA [8, nq*TX, TX]:  bandsA[r][q*TX + k, v]   = T[8q+r, k - v]
+    bandsB [8, nq*W1P, TX]: bandsB[r][q*W1P + j, v]  = T[8q+r, TX + j - v]
+    (zero outside 0 <= k - v < w; rows for 8q + r >= h are zero, and the
+    kernel statically skips them via nq_r). Built by diagonal
+    accumulation like ops/ncc.ccorr_banded (exact)."""
+    h, w = templ_c.shape
+    nq = -(-h // 8)
+    w1p = _w1p(w)
+    tc = templ_c.astype(dtype)
+
+    k_a = jax.lax.broadcasted_iota(jnp.int32, (TX, TX), 0)
+    v_a = jax.lax.broadcasted_iota(jnp.int32, (TX, TX), 1)
+    k_b = jax.lax.broadcasted_iota(jnp.int32, (w1p, TX), 0) + TX
+    v_b = jax.lax.broadcasted_iota(jnp.int32, (w1p, TX), 1)
+
+    def one_dy(dy):
+        if dy >= h:
+            return (jnp.zeros((TX, TX), dtype), jnp.zeros((w1p, TX), dtype))
+        da = k_a - v_a
+        db = k_b - v_b
+        a = jnp.zeros((TX, TX), dtype)
+        b = jnp.zeros((w1p, TX), dtype)
+        for j in range(w):
+            if dtype == jnp.int8:
+                a = a + jnp.where(da == j, tc[dy, j], jnp.int8(0))
+                b = b + jnp.where(db == j, tc[dy, j], jnp.int8(0))
+            else:
+                a = a + tc[dy, j] * (da == j).astype(dtype)
+                b = b + tc[dy, j] * (db == j).astype(dtype)
+        return a, b
+
+    rowsA, rowsB = [], []
+    for r in range(8):
+        pa = [one_dy(8 * q + r) for q in range(nq)]
+        rowsA.append(jnp.concatenate([p[0] for p in pa], axis=0))
+        rowsB.append(jnp.concatenate([p[1] for p in pa], axis=0))
+    return jnp.stack(rowsA), jnp.stack(rowsB)
+
+
+def _corr_body(h, w, nyg, slabA0, slabA1, slabB0, slabB1,
+               bandsA, bandsB, out_ref, rotA, rotB):
+    accdt = jnp.int32 if bandsA.dtype == jnp.int8 else jnp.float32
+    nq = -(-h // 8)
+    w1 = w - 1
+    w1p = _w1p(w)
+    R = rotA.shape[1]
+    dn = (((1,), (0,)), ((), ()))
+
+    # Stage the 8 sublane rotations of this step's slab (rows G..2G of the
+    # next row-group provide the h-1 overlap): 8 static shuffle copies,
+    # after which every row access below is tile-aligned.
+    valA = jnp.concatenate([slabA0[0], slabA1[0]], axis=0)
+    valB = jnp.concatenate([slabB0[0], slabB1[0]], axis=0)
+    for r in range(8):
+        rotA[r] = jax.lax.slice_in_dim(valA, r, r + R, axis=0)
+        rotB[r] = jax.lax.slice_in_dim(valB, r, r + R, axis=0)
+
+    for ty in range(nyg):
+        y0 = ty * TY
+        acc = jnp.zeros((TY, TX), accdt)
+        for r in range(8):
+            nq_r = sum(1 for dy in range(r, h, 8))
+            if nq_r == 0:
+                continue
+            aA = jnp.concatenate(
+                [rotA[r, y0 + 8 * q:y0 + 8 * q + TY, :]
+                 for q in range(nq_r)], axis=1)
+            acc = acc + jax.lax.dot_general(
+                aA, bandsA[r, :nq_r * TX, :], dn,
+                preferred_element_type=accdt)
+            if w1:
+                aB = jnp.concatenate(
+                    [rotB[r, y0 + 8 * q:y0 + 8 * q + TY, :w1p]
+                     for q in range(nq_r)], axis=1)
+                acc = acc + jax.lax.dot_general(
+                    aB, bandsB[r, :nq_r * w1p, :], dn,
+                    preferred_element_type=accdt)
+        out_ref[0, y0:y0 + TY, :] = acc.astype(jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("compute_dtype", "interpret"))
+def ccorr_tiledband_pallas(
+    canvases_c: jnp.ndarray,   # [B, H, W] f32, centered (S - 128)
+    templ_c: jnp.ndarray,      # [h, w] f32, centered (T - 128)
+    compute_dtype: str = "bf16",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Raw centered cross-correlation -> [B, Ho, Wo] f32."""
+    B, H, W = canvases_c.shape
+    h, w = templ_c.shape
+    assert eligible(h, w), (h, w)
+    Ho, Wo = H - h + 1, W - w + 1
+
+    use_i8 = compute_dtype == "int8" and h * w * 128 * 128 < 2**31
+    dt = (jnp.int8 if use_i8
+          else jnp.bfloat16 if compute_dtype in ("bf16", "int8")
+          else jnp.float32)
+
+    nx = pl.cdiv(Wo, TX)
+    ny = pl.cdiv(Ho, TY)
+    nyg = min(NYG, ny)
+    ng = pl.cdiv(ny, nyg)
+    G = nyg * TY                    # output rows per grid step
+    nq = -(-h // 8)
+    R = G + 8 * nq                  # rot-scratch rows (covers y0+8q+TY)
+    # Row blocks: each step reads its own G rows plus the first R+8-G rows
+    # of the NEXT block for the dy overlap -> pad to (ng + 1) blocks.
+    Hp = (ng + 1) * G
+    Wp = (nx + 1) * TX              # slabB of the last stripe reads blk nx
+    canv = jnp.pad(canvases_c, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    canv = canv.astype(dt)
+    bandsA, bandsB = _build_bands(templ_c, dt)
+
+    body = functools.partial(_corr_body, h, w, nyg)
+    out = pl.pallas_call(
+        body,
+        grid=(B, ng, nx),
+        in_specs=[
+            pl.BlockSpec((1, G, TX), lambda b, g, i: (b, g, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, TX), lambda b, g, i: (b, g + 1, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, TX), lambda b, g, i: (b, g, i + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, TX), lambda b, g, i: (b, g + 1, i + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nq * TX, TX), lambda b, g, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nq * _w1p(w), TX), lambda b, g, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, G, TX), lambda b, g, i: (b, g, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, ng * G, nx * TX), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, R, TX), dt),
+            pltpu.VMEM((8, R, TX), dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * nx * ng * G * h * (TX + _w1p(w)) * TX,
+            bytes_accessed=4 * B * nx * ng * G * TX * canv.dtype.itemsize
+            + B * ng * G * nx * TX * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(canv, canv, canv, canv, bandsA, bandsB)
+    return out[:, :Ho, :Wo]
