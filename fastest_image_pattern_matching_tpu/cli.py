@@ -100,6 +100,25 @@ def build_parser() -> argparse.ArgumentParser:
     am.add_argument("-s", "--source", required=True)
     am.add_argument("--json", action="store_true")
 
+    oc = sub.add_parser("ocr", help="multi-template glyph matching: learn "
+                        "a glyph directory, read the string in a scene "
+                        "(the reference's 36-glyph M12 demo, "
+                        "MatchToolDlg.cpp:714-771)")
+    oc.add_argument("--glyphs-dir", required=True,
+                    help="directory of glyph images (file stem = label)")
+    oc.add_argument("-s", "--source", required=True, help="scene image")
+    oc.add_argument("--score", type=float, default=0.85)
+    oc.add_argument("--max-pos", type=int, default=8)
+    oc.add_argument("--tolerance-angle", type=float, default=0.0)
+    oc.add_argument("--max-overlap", type=float, default=0.4)
+    oc.add_argument("--min-reduce-area", type=int, default=256)
+    oc.add_argument("--per-glyph", action="store_true",
+                    help="dispatch one program per glyph (the reference's "
+                    "loop structure) instead of the batched shape groups")
+    oc.add_argument("--cross-nms", action="store_true",
+                    help="suppress overlapping detections across glyphs")
+    oc.add_argument("--json", action="store_true", dest="as_json")
+
     w = sub.add_parser("watch", help="live inspection: poll a directory "
                        "for new images, or stream from a camera/video "
                        "(the reference's -c/--camera mode, src/main.cpp:29)")
@@ -331,6 +350,49 @@ def _cmd_aot_match(args) -> int:
     return 0
 
 
+def _cmd_ocr(args) -> int:
+    from .config import MatchConfig
+    from .models.multi_template import MultiTemplateMatcher, read_string
+    from .utils.imageio import load_gray
+
+    cfg = MatchConfig(max_pos=args.max_pos, score=args.score,
+                      tolerance_angle=args.tolerance_angle,
+                      max_overlap=args.max_overlap,
+                      min_reduce_area=args.min_reduce_area)
+    m = MultiTemplateMatcher(cfg)
+    m.learn_glyph_dir(args.glyphs_dir)
+    if not m.patterns:
+        print(f"no glyph images found in {args.glyphs_dir}",
+              file=sys.stderr)
+        return 2
+    scene = load_gray(args.source)
+    t0 = time.perf_counter()
+    matches = m.match_all(scene, cross_nms=args.cross_nms,
+                          batched=not args.per_glyph)
+    dt = (time.perf_counter() - t0) * 1000
+    text = read_string(matches, cfg.score)
+    if args.as_json:
+        print(json.dumps({
+            "text": text, "time_ms": dt, "glyphs": len(m.patterns),
+            "matches": [{
+                "label": mm.label, "score": mm.result.score,
+                "angle": mm.result.angle, "pos_x": mm.result.pos_x,
+                "pos_y": mm.result.pos_y,
+            } for mm in matches],
+        }))
+    else:
+        print(f"Read: {text}")
+        print(f"Time: {dt:.1f} ms ({len(m.patterns)} glyph patterns, "
+              f"includes compile on first run)")
+        print(f"{'Label':>6} {'Score':>8} {'Angle':>8} {'PosX':>10} "
+              f"{'PosY':>10}")
+        for mm in matches:
+            r = mm.result
+            print(f"{mm.label:>6} {r.score:>8.3f} {r.angle:>8.3f} "
+                  f"{r.pos_x:>10.3f} {r.pos_y:>10.3f}")
+    return 0
+
+
 def _cmd_watch(args) -> int:
     """Poll a directory for new images, match each as it appears — the
     headless analogue of the camera live path (imageCaptured ->
@@ -432,6 +494,8 @@ def main(argv=None) -> int:
         return _cmd_aot_export(args)
     if args.command == "aot-match":
         return _cmd_aot_match(args)
+    if args.command == "ocr":
+        return _cmd_ocr(args)
     if args.command == "watch":
         return _cmd_watch(args)
     if args.command == "bench":

@@ -124,3 +124,24 @@ def match_glyphs(src: np.ndarray, glyph_dir: str,
         max_pos=10, score=0.8, tolerance_angle=0.0))
     m.learn_glyph_dir(glyph_dir)
     return m.match_all(src, cross_nms=cross_nms)
+
+
+def read_string(matches: Sequence[LabeledMatch], min_score: float = 0.0,
+                x_merge: float = 12.0) -> str:
+    """Assemble the left-to-right string from labeled glyph matches — the
+    read-out step of the reference's OCR demo (which stamps per-glyph
+    results onto the image, MatchToolDlg.cpp:745-760; here a string).
+
+    Glyphs below min_score are dropped; matches within x_merge px of the
+    previous kept glyph's center are treated as duplicate detections of
+    the same character (keep the best score)."""
+    hits = [m for m in matches if m.result.score >= min_score]
+    hits.sort(key=lambda m: m.result.pos_x)
+    out: List[LabeledMatch] = []
+    for m in hits:
+        if out and abs(m.result.pos_x - out[-1].result.pos_x) < x_merge:
+            if m.result.score > out[-1].result.score:
+                out[-1] = m
+            continue
+        out.append(m)
+    return "".join(m.label for m in out)

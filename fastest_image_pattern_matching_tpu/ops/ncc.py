@@ -263,7 +263,12 @@ def ncc_score_map(
                 import os as _os
                 from .pallas.corr_kernel import eligible as _tb_ok
                 on_tpu = jax.default_backend() in ("tpu", "axon")
-                if (on_tpu and _tb_ok(h, w)
+                # h >= 12: measured crossover (AUTOTUNE_r04.json /
+                # ROOFLINE_r04.json) — the kernel's fixed per-stripe
+                # rotation staging (8 sublane rolls) outweighs its
+                # issued-MAC advantage for very short templates, where
+                # the HBM-bound banded scan is already cheap.
+                if (on_tpu and _tb_ok(h, w) and h >= 12
                         and _os.environ.get("FIPM_TILEDBAND", "1") != "0"):
                     # Big score map, small template: the Pallas tiled-band
                     # kernel (one canvas read, ~6x MAC expansion vs the

@@ -64,18 +64,11 @@ def run_ocr_bench(log=print, iters=3):
         m.learn(label, g)
     n_glyphs = len(m.patterns)
 
+    from fastest_image_pattern_matching_tpu.models.multi_template import (
+        read_string as _read)
+
     def read_string(matches):
-        hits = [mm for mm in matches if mm.result.score >= cfg.score]
-        hits.sort(key=lambda mm: mm.result.pos_x)
-        # de-dup by x-overlap, keep best score
-        out = []
-        for mm in hits:
-            if out and abs(mm.result.pos_x - out[-1].result.pos_x) < 12:
-                if mm.result.score > out[-1].result.score:
-                    out[-1] = mm
-                continue
-            out.append(mm)
-        return "".join(mm.label for mm in out)
+        return _read(matches, cfg.score)
 
     times = {}
     reads = {}
