@@ -138,3 +138,77 @@ def test_pack_dual_range_and_regions(tmp_path):
         # marked regions projected into the match frame, like match()
         assert len(a.regions) == 1
         np.testing.assert_allclose(a.regions[0], b.regions[0])
+
+
+def test_pack_with_bundled_executables(tmp_path):
+    """include_executables bundles this backend's compiled executables;
+    a fresh SINGLE-DEVICE process must load them (no XLA pipeline) and
+    match identically. Bundling is gated on one visible device (jax's
+    serialize_executable mis-assigns under multi-device clients), so the
+    suite's forced 8-device mesh exports without executables and this
+    test runs the real path in a subprocess."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    import cv2
+    import fastest_image_pattern_matching_tpu as fipm
+
+    rng = np.random.default_rng(5)
+    t = np.full((40, 56), 30, np.uint8)
+    cv2.rectangle(t, (4, 4), (51, 35), 200, 2)
+    cv2.line(t, (8, 8), (48, 30), 255, 3)
+    src = rng.integers(0, 30, (200, 240), np.uint8)
+    src[40:80, 60:116] = t
+    pat = fipm.learn_pattern(t, 256)
+    cfg = fipm.MatchConfig(max_pos=3, score=0.8, tolerance_angle=180.0)
+
+    # In THIS (8-device) process bundling is refused -> portable pack.
+    p8 = str(tmp_path / "no_exe.npz")
+    fipm.export_match_pack(p8, pat, cfg, src.shape,
+                           include_executables=True)
+    assert "exe_single" not in np.load(p8).files
+
+    np.save(str(tmp_path / "src.npy"), src)
+    np.save(str(tmp_path / "tpl.npy"), t)
+    ref = fipm.match(src, pat, cfg)
+    child = f"""
+import os
+os.environ.pop("XLA_FLAGS", None)
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np, sys
+sys.path.insert(0, {repr(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))})
+import fastest_image_pattern_matching_tpu as fipm
+from fastest_image_pattern_matching_tpu import aot as _aot
+src = np.load({str(tmp_path / 'src.npy')!r})
+tpl = np.load({str(tmp_path / 'tpl.npy')!r})
+pat = fipm.learn_pattern(tpl, 256)
+cfg = fipm.MatchConfig(max_pos=3, score=0.8, tolerance_angle=180.0)
+path = {str(tmp_path / 'exe.npz')!r}
+fipm.export_match_pack(path, pat, cfg, src.shape, batch_sizes=(2,),
+                       include_executables=True)
+data = np.load(path)
+assert "exe_single" in data.files and "exe_batch_2" in data.files, data.files
+calls = []
+orig = _aot._load_exe
+def spy(raw):
+    calls.append(len(raw))
+    return orig(raw)
+_aot._load_exe = spy
+m = fipm.AotMatcher.load(path)
+_aot._load_exe = orig
+assert len(calls) >= 2, calls
+res = m.match(src)
+many = m.match_many(np.stack([src, src]))
+assert len(many) == 2 and len(many[0]) == 1
+print("CHILD_OK", len(res), round(res[0].score, 6))
+"""
+    env = dict(__import__("os").environ)
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run([sys.executable, "-c", child], env=env,
+                         capture_output=True, text=True, timeout=480)
+    last = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+    assert last.startswith("CHILD_OK"), out.stdout + out.stderr[-2000:]
+    n, score = last.split()[1:3]
+    assert int(n) == len(ref) == 1
+    assert abs(float(score) - ref[0].score) < 1e-6

@@ -74,30 +74,38 @@ def run_orb_bench(log=print):
     # jit the whole prefix so each is ONE program.
     prefixes = {"detect": p1_detect, "match": p2_match, "ransac": p3_ransac}
     ms = {}
+    spread = {}
     for name, fn in prefixes.items():
         jf = jax.jit(fn)
         img0 = jnp.asarray(crop, jnp.float32)
         float(jf(img0))  # compile + warm
         ts = []
-        for i in range(1, 4):
+        for i in range(1, 8):
             v = img0 + np.float32(i)  # descriptors shift-invariant enough
             float(v[0, 0])
             t0 = time.perf_counter()
             float(jf(v))
             ts.append((time.perf_counter() - t0) * 1000)
-        ms[name] = sorted(ts)[1]
-        log(f"prefix {name}: {ms[name]:.1f} ms")
+        ts.sort()
+        ms[name] = ts[len(ts) // 2]
+        spread[name] = ts[-2] - ts[1]
+        log(f"prefix {name}: {ms[name]:.1f} ms (spread {spread[name]:.1f})")
 
+    # Two-stage attribution (round-3's three-way split put the tiny
+    # Hamming stage below prefix-subtraction noise and reported a
+    # negative time; the match+RANSAC tail is one honest stage).
+    noise = round(max(spread.values()), 1)
     out = {
         "metric": "orb_stage_timing",
         "image_hw": list(crop.shape),
         "template_hw": list(tpl.shape),
         "e2e_ms": round(e2e_ms, 1),
         "prefix_ms": {k: round(v, 1) for k, v in ms.items()},
+        "prefix_noise_ms": noise,
         "stage_ms": {
             "detect_describe_both": round(ms["detect"], 1),
-            "hamming_match": round(ms["match"] - ms["detect"], 1),
-            "ransac_lo": round(ms["ransac"] - ms["match"], 1),
+            "match_plus_ransac": round(
+                max(ms["ransac"] - ms["detect"], 0.0), 1),
         },
         "is_matched": bool(res.is_matched),
         "num_inliers": int(res.num_inliers),
@@ -105,6 +113,32 @@ def run_orb_bench(log=print):
                           "to stdout (ORBFeatureMatcher.cpp:46-64,111-113); "
                           "no absolute numbers published to compare against",
     }
+
+    # AOT ORB pack serving (same-process export/load/match timings;
+    # fresh-process cold start is tools/cold_bench.py's job).
+    import os
+    from fastest_image_pattern_matching_tpu.aot import AotOrb, export_orb_pack
+    pack = "/root/repo/.aot_packs/orb_Src8crop.npz"
+    os.makedirs(os.path.dirname(pack), exist_ok=True)
+    t0 = time.perf_counter()
+    export_orb_pack(pack, cfg, crop.shape, tpl.shape,
+                    include_executables=True, log=log)
+    exp_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    m = AotOrb.load(pack)
+    load_ms = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    r2 = m.match(crop, tpl)
+    first_ms = (time.perf_counter() - t0) * 1e3
+    assert r2.is_matched == res.is_matched
+    out["aot_pack"] = {
+        "export_s": round(exp_s, 2),
+        "load_ms": round(load_ms, 1),
+        "first_match_ms_same_process": round(first_ms, 1),
+        "pack_path": pack,
+    }
+    log(f"orb pack: export {exp_s:.1f}s load {load_ms:.0f}ms "
+        f"first match {first_ms:.0f}ms")
     return out
 
 

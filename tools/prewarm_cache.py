@@ -67,7 +67,8 @@ def prewarm_suite(batch: int = 8, log=print, export_packs: bool = False):
         if export_packs:
             path = os.path.join(PACK_DIR, f"{name}.npz")
             fipm.export_match_pack(path, pattern, cfg, src.shape,
-                                   batch_sizes=(batch,))
+                                   batch_sizes=(batch,),
+                                   include_executables=True)
             m = fipm.AotMatcher.load(path)
             m.match(src_dev)          # compile the pack's programs into
             m.match_many(stack)       # the persistent cache
