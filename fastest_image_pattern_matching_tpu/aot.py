@@ -178,6 +178,41 @@ def _load_exe(raw: bytes):
     return se.deserialize_and_load(blob, in_tree, out_tree)
 
 
+class _LazyFn:
+    """Per-program lazy loader: packs can hold several programs (single,
+    uncapped, batch buckets) whose executables are tens of MB each;
+    deserializing happens on FIRST USE of each program, not at
+    AotMatcher.load — and falls back from the bundled executable to the
+    portable StableHLO blob on any error."""
+
+    __slots__ = ("_exe_raw", "_exp_raw", "_fn", "_name")
+
+    def __init__(self, name: str, exe_raw, exp_raw):
+        self._name = name
+        self._exe_raw = exe_raw
+        self._exp_raw = exp_raw
+        self._fn = None
+
+    def _resolve(self):
+        if self._fn is None:
+            if self._exe_raw is not None:
+                try:
+                    self._fn = _load_exe(self._exe_raw)
+                except Exception as e:
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "bundled executable %s unusable (%r); recompiling",
+                        self._name, e)
+            if self._fn is None:
+                from jax import export as jexport
+                self._fn = jax.jit(jexport.deserialize(self._exp_raw).call)
+            self._exe_raw = self._exp_raw = None
+        return self._fn
+
+    def __call__(self, *args):
+        return self._resolve()(*args)
+
+
 def _exe_bundling_ok() -> bool:
     """Bundled executables are single-device artifacts: jax's
     serialize_executable mis-assigns devices under a multi-device client
@@ -252,17 +287,9 @@ class AotMatcher:
             if not key.startswith("exp_"):
                 continue
             name = key[4:]
-            if use_exe and f"exe_{name}" in data.files:
-                try:
-                    fns[name] = _load_exe(bytes(data[f"exe_{name}"]))
-                    continue
-                except Exception as e:
-                    import logging
-                    logging.getLogger(__name__).warning(
-                        "bundled executable %s unusable (%r); recompiling",
-                        name, e)
-            exp = jexport.deserialize(bytes(data[key]))
-            fns[name] = jax.jit(exp.call)
+            exe_raw = (bytes(data[f"exe_{name}"])
+                       if use_exe and f"exe_{name}" in data.files else None)
+            fns[name] = _LazyFn(name, exe_raw, bytes(data[key]))
         return cls(pattern, cfg, src_shape, fns, platforms)
 
     @property
@@ -476,17 +503,9 @@ class AotOrb:
             if not key.startswith("exp_"):
                 continue
             name = key[4:]
-            if use_exe and f"exe_{name}" in data.files:
-                try:
-                    fns[name] = _load_exe(bytes(data[f"exe_{name}"]))
-                    continue
-                except Exception as e:
-                    import logging
-                    logging.getLogger(__name__).warning(
-                        "bundled executable %s unusable (%r); recompiling",
-                        name, e)
-            exp = jexport.deserialize(bytes(data[key]))
-            fns[name] = jax.jit(exp.call)
+            exe_raw = (bytes(data[f"exe_{name}"])
+                       if use_exe and f"exe_{name}" in data.files else None)
+            fns[name] = _LazyFn(name, exe_raw, bytes(data[key]))
         return cls(cfg, int(data["seed"]), src_shape, templ_shape, fns,
                    platforms)
 

@@ -196,10 +196,11 @@ def spy(raw):
     return orig(raw)
 _aot._load_exe = spy
 m = fipm.AotMatcher.load(path)
-_aot._load_exe = orig
-assert len(calls) >= 2, calls
+assert len(calls) == 0, calls  # lazy: nothing deserialized at load
 res = m.match(src)
 many = m.match_many(np.stack([src, src]))
+_aot._load_exe = orig
+assert len(calls) >= 2, calls  # single + batch_2 loaded on first use
 assert len(many) == 2 and len(many[0]) == 1
 print("CHILD_OK", len(res), round(res[0].score, 6))
 """

@@ -36,6 +36,25 @@ import cv2
 import fastest_image_pattern_matching_tpu as fipm
 from suite_bench import IMG_DIR, TESTS, _load_scene
 name, mode = sys.argv[1], sys.argv[2]
+if mode == "orb_pack":
+    # Fresh-process ORB first match from the bundled-executable pack
+    # (tools/orb_bench.py exports it; Src8 crop vs Dst8).
+    src_full = cv2.imread(f"{IMG_DIR}/Src8.bmp", cv2.IMREAD_GRAYSCALE)
+    tpl = cv2.imread(f"{IMG_DIR}/Dst8.bmp", cv2.IMREAD_GRAYSCALE)
+    crop = src_full[215:480, 0:334]
+    t0 = time.time()
+    m = fipm.AotOrb.load("/root/repo/.aot_packs/orb_Src8crop.npz")
+    t_load = time.time() - t0
+    t0 = time.time()
+    r = m.match(crop, tpl)
+    first_ms = (time.time() - t0) * 1000
+    print(json.dumps({"test": name, "mode": mode,
+                      "import_s": round(t_imp, 1),
+                      "claim_s": round(t_claim, 1),
+                      "pack_load_ms": round(t_load * 1000, 1),
+                      "first_match_ms": round(first_ms, 1),
+                      "found": int(r.is_matched)}))
+    sys.exit(0)
 row = [t for t in TESTS if t[0] == name][0]
 _, s, d, kw, _refs, _expect, _note = row
 tpl = cv2.imread(f"{IMG_DIR}/{d}", cv2.IMREAD_GRAYSCALE)
@@ -114,6 +133,8 @@ if __name__ == "__main__":
     def _log(m):
         print(m, file=sys.stderr, flush=True)
     rows = run_cold(log=_log, retries=2, max_claim_s=60)
+    rows += run_cold(tests=("ORB",), modes=("orb_pack",), log=_log,
+                     retries=2, max_claim_s=60)
     print(json.dumps({
         "cold": rows,
         "note": "first_match_ms = first match in a FRESH process with the "
