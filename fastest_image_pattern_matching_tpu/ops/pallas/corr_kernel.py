@@ -12,7 +12,7 @@ both at once:
     stripe needs canvas lanes [i*TX, i*TX + TX + w - 1) — delivered as
     TWO adjacent 128-lane column blocks of the padded canvas (Pallas
     BlockSpec pipelining; no im2col materialization in HBM). The band
-    contraction is then TX + w - 1 deep instead of W deep: issued-MAC
+    contraction is then TX + pad(w-1) deep instead of W deep: issued-MAC
     expansion drops from W/w (~70x) to (TX + pad(w-1))/w (~5.9x for
     w = 27).
   * VMEM residency: each canvas block is fetched O(1) times and all h
@@ -37,6 +37,12 @@ boundary into an A part (K = TX) against column block i and a B part
 Precision follows the repo's centered-u8 scheme (ops/ncc.py module doc):
 bf16 inputs with f32 accumulation are exact on integer-valued canvases;
 int8 with int32 accumulation is exact under the h*w*128^2 < 2^31 bound.
+
+Tuning knobs (static args; defaults are the on-chip sweep winners —
+Test7 shape B16: int8 6.73 ms, bf16 7.62 ms vs 6.92/8.11 for the
+initial 256/4/split config): tile_rows = accumulator tile rows,
+row_tiles = tiles per grid step, merge_ab = one dot per residue (A and
+B operands lane-concatenated) instead of two.
 """
 
 from __future__ import annotations
@@ -50,8 +56,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TX = 128    # output stripe lanes (MXU columns)
-TY = 256    # output rows per accumulator tile (MXU rows)
-NYG = 4     # row tiles per grid step (bounds VMEM for the rot scratch)
+TY = 256    # default accumulator tile rows (MXU rows)
+NYG = 8     # default row tiles per grid step (bounds rot-scratch VMEM)
+MERGE_AB = True  # one dot per residue (A+B lane-concatenated)
 
 # Eligibility bounds (callers gate on these; asserted here).
 MAX_W = TX + 1   # two column blocks cover TX + w - 1 <= 2*TX lanes
@@ -109,10 +116,9 @@ def _build_bands(templ_c: jnp.ndarray, dtype):
     return jnp.stack(rowsA), jnp.stack(rowsB)
 
 
-def _corr_body(h, w, nyg, slabA0, slabA1, slabB0, slabB1,
+def _corr_body(h, w, nyg, ty_rows, merge_ab, slabA0, slabA1, slabB0, slabB1,
                bandsA, bandsB, out_ref, rotA, rotB):
     accdt = jnp.int32 if bandsA.dtype == jnp.int8 else jnp.float32
-    nq = -(-h // 8)
     w1 = w - 1
     w1p = _w1p(w)
     R = rotA.shape[1]
@@ -128,40 +134,53 @@ def _corr_body(h, w, nyg, slabA0, slabA1, slabB0, slabB1,
         rotB[r] = jax.lax.slice_in_dim(valB, r, r + R, axis=0)
 
     for ty in range(nyg):
-        y0 = ty * TY
-        acc = jnp.zeros((TY, TX), accdt)
+        y0 = ty * ty_rows
+        acc = jnp.zeros((ty_rows, TX), accdt)
         for r in range(8):
             nq_r = sum(1 for dy in range(r, h, 8))
             if nq_r == 0:
                 continue
-            aA = jnp.concatenate(
-                [rotA[r, y0 + 8 * q:y0 + 8 * q + TY, :]
-                 for q in range(nq_r)], axis=1)
-            acc = acc + jax.lax.dot_general(
-                aA, bandsA[r, :nq_r * TX, :], dn,
-                preferred_element_type=accdt)
-            if w1:
-                aB = jnp.concatenate(
-                    [rotB[r, y0 + 8 * q:y0 + 8 * q + TY, :w1p]
-                     for q in range(nq_r)], axis=1)
+            piecesA = [rotA[r, y0 + 8 * q:y0 + 8 * q + ty_rows, :]
+                       for q in range(nq_r)]
+            piecesB = ([rotB[r, y0 + 8 * q:y0 + 8 * q + ty_rows, :w1p]
+                        for q in range(nq_r)] if w1 else [])
+            if merge_ab and piecesB:
+                a_cat = jnp.concatenate(piecesA + piecesB, axis=1)
+                b_cat = jnp.concatenate(
+                    [bandsA[r, :nq_r * TX, :], bandsB[r, :nq_r * w1p, :]],
+                    axis=0)
                 acc = acc + jax.lax.dot_general(
-                    aB, bandsB[r, :nq_r * w1p, :], dn,
+                    a_cat, b_cat, dn, preferred_element_type=accdt)
+            else:
+                acc = acc + jax.lax.dot_general(
+                    jnp.concatenate(piecesA, axis=1),
+                    bandsA[r, :nq_r * TX, :], dn,
                     preferred_element_type=accdt)
-        out_ref[0, y0:y0 + TY, :] = acc.astype(jnp.float32)
+                if piecesB:
+                    acc = acc + jax.lax.dot_general(
+                        jnp.concatenate(piecesB, axis=1),
+                        bandsB[r, :nq_r * w1p, :], dn,
+                        preferred_element_type=accdt)
+        out_ref[0, y0:y0 + ty_rows, :] = acc.astype(jnp.float32)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("compute_dtype", "interpret"))
+                   static_argnames=("compute_dtype", "interpret",
+                                    "tile_rows", "row_tiles", "merge_ab"))
 def ccorr_tiledband_pallas(
     canvases_c: jnp.ndarray,   # [B, H, W] f32, centered (S - 128)
     templ_c: jnp.ndarray,      # [h, w] f32, centered (T - 128)
     compute_dtype: str = "bf16",
     interpret: bool = False,
+    tile_rows: int = TY,
+    row_tiles: int = NYG,
+    merge_ab: bool = MERGE_AB,
 ) -> jnp.ndarray:
     """Raw centered cross-correlation -> [B, Ho, Wo] f32."""
     B, H, W = canvases_c.shape
     h, w = templ_c.shape
     assert eligible(h, w), (h, w)
+    assert tile_rows % 256 == 0 or tile_rows in (64, 128), tile_rows
     Ho, Wo = H - h + 1, W - w + 1
 
     use_i8 = compute_dtype == "int8" and h * w * 128 * 128 < 2**31
@@ -170,10 +189,10 @@ def ccorr_tiledband_pallas(
           else jnp.float32)
 
     nx = pl.cdiv(Wo, TX)
-    ny = pl.cdiv(Ho, TY)
-    nyg = min(NYG, ny)
+    ny = pl.cdiv(Ho, tile_rows)
+    nyg = min(row_tiles, ny)
     ng = pl.cdiv(ny, nyg)
-    G = nyg * TY                    # output rows per grid step
+    G = nyg * tile_rows             # output rows per grid step
     nq = -(-h // 8)
     R = G + 8 * nq                  # rot-scratch rows (covers y0+8q+TY)
     # Row blocks: each step reads its own G rows plus the first R+8-G rows
@@ -184,7 +203,7 @@ def ccorr_tiledband_pallas(
     canv = canv.astype(dt)
     bandsA, bandsB = _build_bands(templ_c, dt)
 
-    body = functools.partial(_corr_body, h, w, nyg)
+    body = functools.partial(_corr_body, h, w, nyg, tile_rows, merge_ab)
     out = pl.pallas_call(
         body,
         grid=(B, ng, nx),
