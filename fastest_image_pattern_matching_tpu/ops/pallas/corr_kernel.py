@@ -48,7 +48,6 @@ B operands lane-concatenated) instead of two.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
