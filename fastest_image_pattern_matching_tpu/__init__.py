@@ -28,6 +28,8 @@ from .models.batch import (BatchMatcher, match_many, match_many_arrays,
 from .aot import (AotMatcher, AotOrb, export_match_pack,
                   export_orb_pack)
 from .models.orb import ORBConfig, ORBResult, orb_match, orb_match_many
+from .parallel.matcher import match_batch_sharded
+from .parallel.mesh import init_distributed, make_mesh
 
 __version__ = "0.3.0"
 
@@ -38,4 +40,5 @@ __all__ = [
     "BatchMatcher", "match_many", "match_many_arrays", "match_patterns",
     "AotMatcher", "AotOrb", "export_match_pack", "export_orb_pack",
     "ORBConfig", "ORBResult", "orb_match", "orb_match_many",
+    "match_batch_sharded", "make_mesh", "init_distributed",
 ]

@@ -62,3 +62,13 @@ def test_cli_ocr_json(scene_path):
 def test_cli_ocr_empty_dir(tmp_path, scene_path):
     rc = main(["ocr", "--glyphs-dir", str(tmp_path), "-s", scene_path])
     assert rc == 2
+
+
+def test_cli_ocr_per_glyph_and_cross_nms(scene_path):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["ocr", "--glyphs-dir", M12, "-s", scene_path,
+                   "--per-glyph", "--cross-nms", "--json"])
+    assert rc == 0
+    data = json.loads(buf.getvalue())
+    assert data["text"] == "M12X05"
