@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
     ae.add_argument("--min-reduce-area", type=int, default=256)
     ae.add_argument("--roi", type=int, nargs=4, metavar=("X", "Y", "W", "H"),
                     default=None)
+    ae.add_argument("--include-executables", action="store_true",
+                    help="bundle this machine's fully-compiled "
+                    "executables (single-device; first match then skips "
+                    "the XLA pipeline entirely)")
 
     am = sub.add_parser("aot-match", help="match using an exported pack")
     am.add_argument("-p", "--pack", required=True)
@@ -316,7 +320,8 @@ def _cmd_aot_export(args) -> int:
     t0 = time.perf_counter()
     timings = export_match_pack(args.out, pattern, cfg,
                                 tuple(args.source_shape),
-                                batch_sizes=args.batch_sizes)
+                                batch_sizes=args.batch_sizes,
+                                include_executables=args.include_executables)
     dt = time.perf_counter() - t0
     print(f"exported {args.out} in {dt:.1f}s "
           f"({', '.join(f'{k} {v:.1f}s' for k, v in timings.items())})")
