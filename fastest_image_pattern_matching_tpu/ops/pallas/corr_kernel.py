@@ -126,6 +126,9 @@ def _corr_body(h, w, nyg, ty_rows, merge_ab, slabA0, slabA1, slabB0, slabB1,
     # Stage the 8 sublane rotations of this step's slab (rows G..2G of the
     # next row-group provide the h-1 overlap): 8 static shuffle copies,
     # after which every row access below is tile-aligned.
+    # (pltpu.roll was tried for the staging and rejected by this Mosaic
+    # version at these shapes; static unaligned slices compile and cost
+    # ~2/3 of the kernel's fixed time — see ROOFLINE_r04 target_notes.)
     valA = jnp.concatenate([slabA0[0], slabA1[0]], axis=0)
     valB = jnp.concatenate([slabB0[0], slabB1[0]], axis=0)
     for r in range(8):
