@@ -186,12 +186,22 @@ def _prep_sharded_args(srcs, pattern, cfg, mesh):
     if srcs.ndim == 4:
         from ..utils.imageio import ensure_gray
         srcs = ensure_gray(srcs)
+    if srcs.ndim != 3:
+        raise ValueError(f"srcs must be [B, H, W], got shape {srcs.shape}")
     if srcs.dtype != np.uint8:
         lo, hi = float(srcs.min()), float(srcs.max())
         if lo < 0.0 or hi > 255.0:
             raise ValueError(
                 f"source values must lie in [0, 255] (8-bit contract, got "
                 f"range [{lo}, {hi}]); rescale 16-bit imagery first")
+    # Same guards as the single-chip path (Match() guards,
+    # MatchToolDlg.cpp:774-781 via template_matcher._prepare).
+    t0 = pattern.levels[0].templ
+    if (t0.shape[0] > srcs.shape[1] and t0.shape[1] < srcs.shape[2]) or \
+       (t0.shape[0] < srcs.shape[1] and t0.shape[1] > srcs.shape[2]):
+        raise ValueError("template/source size relation unsupported")
+    if t0.shape[0] * t0.shape[1] > srcs.shape[1] * srcs.shape[2]:
+        raise ValueError("template larger than source")
     B = srcs.shape[0]
     nd, na = mesh.devices.shape
 

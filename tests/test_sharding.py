@@ -150,3 +150,21 @@ def test_sharded_dual_range_and_fast_mode(setup):
             nv = ref["valid"].sum()
             np.testing.assert_allclose(out["score"][b][:nv],
                                        ref["score"][:nv], atol=1e-5)
+
+
+def test_sharded_input_guards(setup):
+    """match_batch_sharded applies the single-chip guards
+    (MatchToolDlg.cpp:774-781): too-large template, out-of-range values,
+    wrong rank."""
+    t, scenes = setup
+    pat = learn_pattern(t, 256)
+    cfg = MatchConfig(max_pos=2, score=0.7, tolerance_angle=0.0)
+    mesh = make_mesh((2, 4))
+    big_pat = learn_pattern(np.full((400, 400), 128, np.uint8), 256)
+    with pytest.raises(ValueError, match="larger than source"):
+        match_batch_sharded(scenes, big_pat, cfg, mesh)
+    with pytest.raises(ValueError, match="0, 255"):
+        match_batch_sharded(scenes.astype(np.float32) + 300.0, pat, cfg,
+                            mesh)
+    with pytest.raises(ValueError, match="B, H, W"):
+        match_batch_sharded(scenes[0], pat, cfg, mesh)
