@@ -168,3 +168,35 @@ def test_sharded_input_guards(setup):
                             mesh)
     with pytest.raises(ValueError, match="B, H, W"):
         match_batch_sharded(scenes[0], pat, cfg, mesh)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_sharded_equals_single_chip_fuzz(seed):
+    """Randomized configs/scenes: sharded must equal single-chip for
+    arbitrary (max_pos, score, tolerance, overlap) draws — the broad
+    invariant behind the angle-sharded descent."""
+    rng = np.random.default_rng(100 + seed)
+    th = int(rng.integers(20, 36))
+    tw = int(rng.integers(24, 48))
+    t = rng.integers(0, 256, (th, tw)).astype(np.uint8)
+    scene = rng.integers(0, 60, (int(rng.integers(160, 240)),
+                                 int(rng.integers(180, 260)))).astype(
+                                     np.uint8)
+    for _ in range(int(rng.integers(1, 4))):
+        y = int(rng.integers(0, scene.shape[0] - th))
+        x = int(rng.integers(0, scene.shape[1] - tw))
+        scene[y:y + th, x:x + tw] = t
+    cfg = MatchConfig(
+        max_pos=int(rng.integers(1, 8)),
+        score=float(rng.uniform(0.4, 0.9)),
+        tolerance_angle=float(rng.choice([0.0, 15.0, 40.0])),
+        max_overlap=float(rng.uniform(0.0, 0.8)))
+    pat = learn_pattern(t, 256)
+    ref = match_arrays(scene, pat, cfg)
+    out = match_batch_sharded(scene[None], pat, cfg, make_mesh((1, 8)))
+    np.testing.assert_array_equal(out["valid"][0], ref["valid"])
+    nv = int(ref["valid"].sum())
+    np.testing.assert_allclose(out["score"][0][:nv], ref["score"][:nv],
+                               atol=1e-5)
+    np.testing.assert_allclose(out["center"][0][:nv], ref["center"][:nv],
+                               atol=1e-3)
