@@ -159,7 +159,10 @@ def export_match_pack(path: str, pattern: LearnedPattern, cfg: MatchConfig,
         for name, blob in exe_blobs.items():
             arrs[f"exe_{name}"] = np.frombuffer(blob, np.uint8)
     with open(path, "wb") as f:
-        np.savez(f, **arrs)
+        # Compressed: executables/StableHLO deflate ~5x; np.load
+        # decompresses lazily per entry, pairing with _LazyFn so only
+        # the programs actually used pay the inflate cost.
+        np.savez_compressed(f, **arrs)
     if log:
         log(f"pack {path}: {sum(len(v) for v in arrs.values())/1e6:.2f} MB, "
             f"programs={1 + (blob_uncapped is not None) + len(batch_blobs)}")
@@ -445,7 +448,10 @@ def export_orb_pack(path: str, cfg, src_shape: Tuple[int, int],
         for name, blob in exe_blobs.items():
             arrs[f"exe_{name}"] = np.frombuffer(blob, np.uint8)
     with open(path, "wb") as f:
-        np.savez(f, **arrs)
+        # Compressed: executables/StableHLO deflate ~5x; np.load
+        # decompresses lazily per entry, pairing with _LazyFn so only
+        # the programs actually used pay the inflate cost.
+        np.savez_compressed(f, **arrs)
     if log:
         log(f"orb pack {path}: "
             f"{sum(len(np.asarray(v).tobytes()) for v in arrs.values())/1e6:.2f}"
