@@ -164,7 +164,9 @@ def export_match_pack(path: str, pattern: LearnedPattern, cfg: MatchConfig,
         # the programs actually used pay the inflate cost.
         np.savez_compressed(f, **arrs)
     if log:
-        log(f"pack {path}: {sum(len(v) for v in arrs.values())/1e6:.2f} MB, "
+        log(f"pack {path}: "
+            f"{sum(np.asarray(v).nbytes for v in arrs.values())/1e6:.2f} MB "
+            f"uncompressed, "
             f"programs={1 + (blob_uncapped is not None) + len(batch_blobs)}")
     return timings
 
@@ -184,36 +186,60 @@ def _load_exe(raw: bytes):
 class _LazyFn:
     """Per-program lazy loader: packs can hold several programs (single,
     uncapped, batch buckets) whose executables are tens of MB each;
-    deserializing happens on FIRST USE of each program, not at
-    AotMatcher.load — and falls back from the bundled executable to the
-    portable StableHLO blob on any error."""
+    extraction + inflate + deserialize happen on FIRST USE of each
+    program, not at AotMatcher.load (the npz entries are read lazily —
+    holding the NpzFile, not pre-extracted bytes, is what makes load
+    O(metadata)) — with fallback from the bundled executable to the
+    portable StableHLO blob on any error, including a first CALL that
+    fails on a deserialized-but-incompatible executable."""
 
-    __slots__ = ("_exe_raw", "_exp_raw", "_fn", "_name")
+    __slots__ = ("_npz", "_exe_key", "_exp_key", "_fn", "_from_exe",
+                 "_name")
 
-    def __init__(self, name: str, exe_raw, exp_raw):
+    def __init__(self, name: str, npz, exe_key, exp_key):
         self._name = name
-        self._exe_raw = exe_raw
-        self._exp_raw = exp_raw
+        self._npz = npz
+        self._exe_key = exe_key
+        self._exp_key = exp_key
         self._fn = None
+        self._from_exe = False
+
+    def _load_portable(self):
+        from jax import export as jexport
+        return jax.jit(jexport.deserialize(
+            bytes(self._npz[self._exp_key])).call)
 
     def _resolve(self):
         if self._fn is None:
-            if self._exe_raw is not None:
+            if self._exe_key is not None:
                 try:
-                    self._fn = _load_exe(self._exe_raw)
+                    self._fn = _load_exe(bytes(self._npz[self._exe_key]))
+                    self._from_exe = True
                 except Exception as e:
                     import logging
                     logging.getLogger(__name__).warning(
                         "bundled executable %s unusable (%r); recompiling",
                         self._name, e)
             if self._fn is None:
-                from jax import export as jexport
-                self._fn = jax.jit(jexport.deserialize(self._exp_raw).call)
-            self._exe_raw = self._exp_raw = None
+                self._fn = self._load_portable()
         return self._fn
 
     def __call__(self, *args):
-        return self._resolve()(*args)
+        try:
+            return self._resolve()(*args)
+        except Exception as e:
+            if not self._from_exe:
+                raise
+            # Executable deserialized but cannot execute here (e.g. pack
+            # copied to a same-named but incompatible host): drop to the
+            # portable program once.
+            import logging
+            logging.getLogger(__name__).warning(
+                "bundled executable %s failed at call time (%r); "
+                "recompiling from the portable program", self._name, e)
+            self._fn = self._load_portable()
+            self._from_exe = False
+            return self._fn(*args)
 
 
 def _exe_bundling_ok() -> bool:
@@ -264,6 +290,10 @@ class AotMatcher:
         ver = int(data["format_version"])
         if ver != _FORMAT_VERSION:
             raise ValueError(f"unsupported pack version {ver}")
+        if "kind" in data.files and bytes(data["kind"]) != b"match":
+            raise ValueError(
+                f"{path} is a {bytes(data['kind']).decode()!r} pack, not a "
+                "match pack (use AotOrb.load for ORB packs)")
         cfg = _cfg_from_json(bytes(data["cfg_json"]).decode())
         src_shape = tuple(int(v) for v in data["src_shape"])
         pattern = LearnedPattern.load(io.BytesIO(bytes(data["pattern_npz"])))
@@ -290,9 +320,9 @@ class AotMatcher:
             if not key.startswith("exp_"):
                 continue
             name = key[4:]
-            exe_raw = (bytes(data[f"exe_{name}"])
+            exe_key = (f"exe_{name}"
                        if use_exe and f"exe_{name}" in data.files else None)
-            fns[name] = _LazyFn(name, exe_raw, bytes(data[key]))
+            fns[name] = _LazyFn(name, data, exe_key, key)
         return cls(pattern, cfg, src_shape, fns, platforms)
 
     @property
@@ -509,9 +539,9 @@ class AotOrb:
             if not key.startswith("exp_"):
                 continue
             name = key[4:]
-            exe_raw = (bytes(data[f"exe_{name}"])
+            exe_key = (f"exe_{name}"
                        if use_exe and f"exe_{name}" in data.files else None)
-            fns[name] = _LazyFn(name, exe_raw, bytes(data[key]))
+            fns[name] = _LazyFn(name, data, exe_key, key)
         return cls(cfg, int(data["seed"]), src_shape, templ_shape, fns,
                    platforms)
 

@@ -214,7 +214,13 @@ def _cmd_match(args) -> int:
         }))
     else:
         from .utils.i18n import Translator
-        tr = Translator(args.lang, args.lang_file).t
+        try:
+            tr = Translator(args.lang, args.lang_file).t
+        except ValueError as e:
+            # Usage error (e.g. --lang without --lang-file): a clear
+            # message, not a traceback.
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         print(f"{tr('ExecutionTime')}: {dt:.1f} ms "
               f"(includes compile on first run)")
         print(f"{tr('TotalNumber')}: {len(results)}")

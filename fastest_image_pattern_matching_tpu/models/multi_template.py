@@ -133,15 +133,21 @@ def read_string(matches: Sequence[LabeledMatch], min_score: float = 0.0,
     results onto the image, MatchToolDlg.cpp:745-760; here a string).
 
     Glyphs below min_score are dropped; matches within x_merge px of the
-    previous kept glyph's center are treated as duplicate detections of
-    the same character (keep the best score)."""
+    last ACCEPTED glyph's anchor position are treated as duplicate
+    detections of the same character (keep the best score). The anchor
+    does not move when a better-scoring duplicate replaces the kept one,
+    so the merge window cannot chain across a row of distinct glyphs —
+    but x_merge must still be below the glyph pitch, or alternating
+    characters are swallowed."""
     hits = [m for m in matches if m.result.score >= min_score]
     hits.sort(key=lambda m: m.result.pos_x)
     out: List[LabeledMatch] = []
+    anchor_x = None
     for m in hits:
-        if out and abs(m.result.pos_x - out[-1].result.pos_x) < x_merge:
+        if out and abs(m.result.pos_x - anchor_x) < x_merge:
             if m.result.score > out[-1].result.score:
                 out[-1] = m
             continue
         out.append(m)
+        anchor_x = m.result.pos_x
     return "".join(m.label for m in out)

@@ -181,8 +181,17 @@ def ccorr_tiledband_pallas(
     """Raw centered cross-correlation -> [B, Ho, Wo] f32."""
     B, H, W = canvases_c.shape
     h, w = templ_c.shape
-    assert eligible(h, w), (h, w)
-    assert tile_rows % 256 == 0 or tile_rows in (64, 128), tile_rows
+    # Loud validation (reachable from the public
+    # ncc_score_map(method="tiledband"); the auto path pre-gates but the
+    # explicit path must not silently mis-run — and asserts vanish
+    # under python -O).
+    if not eligible(h, w):
+        raise ValueError(
+            f"tiledband kernel serves 2 <= w <= {MAX_W} and h <= {MAX_H}; "
+            f"got template {h}x{w} — use method='banded'/'conv' instead")
+    if not (tile_rows % 256 == 0 or tile_rows in (64, 128)):
+        raise ValueError(f"tile_rows must be 64, 128 or a multiple of 256, "
+                         f"got {tile_rows}")
     Ho, Wo = H - h + 1, W - w + 1
 
     use_i8 = compute_dtype == "int8" and h * w * 128 * 128 < 2**31

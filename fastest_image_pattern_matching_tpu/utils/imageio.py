@@ -31,20 +31,23 @@ def ensure_gray(img, channel_axis_only: bool = False):
         raise ValueError("grayscale input required (H, W); convert color "
                          "frames with utils.imageio.ensure_gray first")
     img = img[..., :3]
+    # One conversion for every path: cv2's fixed-point BGR2GRAY (15-bit
+    # coefficients; verified bit-exact vs cv::cvtColor for uint8). Float
+    # inputs are rounded to the u8-valued contract first, so numpy-uint8,
+    # numpy-float and jax-array callers all produce IDENTICAL gray values
+    # (the public APIs route color input through different array types —
+    # a per-path formula would silently break their exactness parity).
     if isinstance(img, np.ndarray):
-        if img.dtype == np.uint8:
-            # cv2's fixed-point BGR2GRAY (15-bit coefficients; verified
-            # bit-exact vs cv::cvtColor on the installed runtime).
-            v = (img[..., 0].astype(np.uint32) * 3735
-                 + img[..., 1].astype(np.uint32) * 19235
-                 + img[..., 2].astype(np.uint32) * 9798 + 16384) >> 15
-            return v.astype(np.uint8)
-        return (img[..., 0] * 0.114 + img[..., 1] * 0.587
-                + img[..., 2] * 0.299).astype(img.dtype)
+        b = np.round(img[..., 0]).astype(np.int64)
+        g = np.round(img[..., 1]).astype(np.int64)
+        r = np.round(img[..., 2]).astype(np.int64)
+        v = (b * 3735 + g * 19235 + r * 9798 + 16384) >> 15
+        return v.astype(np.uint8 if img.dtype == np.uint8 else img.dtype)
     import jax.numpy as jnp
-    f = img.astype(jnp.float32)
-    v = f[..., 0] * 0.114 + f[..., 1] * 0.587 + f[..., 2] * 0.299
-    return jnp.round(v)
+    ii = jnp.round(img.astype(jnp.float32)).astype(jnp.int32)
+    v = (ii[..., 0] * 3735 + ii[..., 1] * 19235 + ii[..., 2] * 9798
+         + 16384) >> 15
+    return v.astype(jnp.float32)
 
 
 def load_gray(path: str) -> np.ndarray:

@@ -67,3 +67,28 @@ def test_serialization_roundtrip(tmp_path, rng):
     from fastest_image_pattern_matching_tpu.utils.imageio import load_gray
     roi = load_gray(rois[0])
     assert roi.shape[0] >= 30 and roi.shape[1] >= 42
+
+
+def test_read_string_anchor_does_not_chain():
+    """x_merge de-dup must anchor on the accepted glyph, not chain off
+    each merged duplicate: glyphs spaced just over x_merge apart are all
+    kept, and a better-scoring duplicate replacing the kept one must not
+    extend the merge window."""
+    from fastest_image_pattern_matching_tpu.models.multi_template import (
+        LabeledMatch, read_string)
+    from fastest_image_pattern_matching_tpu.types import MatchResult
+
+    def m(label, x, score):
+        r = MatchResult(score=score, angle=0.0, center=(x, 10.0),
+                        lt=(x - 5, 5), rt=(x + 5, 5), rb=(x + 5, 15),
+                        lb=(x - 5, 15))
+        return LabeledMatch(label, r)
+
+    # Distinct glyphs at pitch 13 (> x_merge 12): none may merge.
+    ms = [m("A", 0.0, 0.9), m("B", 13.0, 0.9), m("C", 26.0, 0.9),
+          m("D", 39.0, 0.9)]
+    assert read_string(ms, 0.5, x_merge=12.0) == "ABCD"
+    # A better-scoring duplicate at +10 replaces 'A' but must NOT pull
+    # the window over 'B' at 13.
+    ms2 = [m("A", 0.0, 0.8), m("a", 10.0, 0.95), m("B", 13.0, 0.9)]
+    assert read_string(ms2, 0.5, x_merge=12.0) == "aB"

@@ -43,3 +43,17 @@ def test_color_match_equals_gray_match():
     assert len(res_gray) == len(res_col) == 1
     assert abs(res_gray[0].score - res_col[0].score) < 1e-6
     assert abs(res_gray[0].pos_x - res_col[0].pos_x) < 1e-4
+
+
+def test_ensure_gray_identical_across_array_types():
+    """numpy-uint8, numpy-float32 and jax-array inputs must produce the
+    SAME gray values — public APIs route color input through different
+    array types, and per-path formulas would break exactness parity."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 77, 3), np.uint8)
+    a = ensure_gray(img)
+    b = ensure_gray(img.astype(np.float32))
+    c = np.asarray(ensure_gray(jnp.asarray(img, jnp.float32)))
+    np.testing.assert_array_equal(a.astype(np.float32), b)
+    np.testing.assert_array_equal(b, c)

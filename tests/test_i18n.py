@@ -94,3 +94,23 @@ def test_lang_without_file_errors():
         Translator("Deutsch", None)
     with pytest.raises(ValueError):
         Translator(None, "/tmp/nonexistent.lang")
+
+
+def test_cli_lang_without_file_clean_error(tmp_path, capsys):
+    """--lang without --lang-file must exit 2 with a message, not a
+    traceback (the Translator ValueError is caught by the CLI)."""
+    import cv2
+    import numpy as np
+    from fastest_image_pattern_matching_tpu.cli import main
+    from fastest_image_pattern_matching_tpu.utils.imageio import save_gray
+    t = np.full((24, 32), 128, np.uint8)
+    t[6:18, 8:24] = 30
+    src = np.full((100, 120), 128, np.uint8)
+    src[20:44, 30:62] = t
+    sp, tp = str(tmp_path / "s.bmp"), str(tmp_path / "t.bmp")
+    save_gray(sp, src)
+    save_gray(tp, t)
+    rc = main(["match", "-s", sp, "-t", tp, "--tolerance-angle", "0",
+               "--no-settings", "--lang", "Deutsch"])
+    assert rc == 2
+    assert "lang" in capsys.readouterr().err

@@ -92,3 +92,13 @@ def test_aot_orb_rejects_ncc_pack(tmp_path, pair):
                            (120, 140))
     with pytest.raises(ValueError):
         AotOrb.load(p)
+
+
+def test_aot_matcher_rejects_orb_pack(pair, tmp_path):
+    """The reverse of test_aot_orb_rejects_ncc_pack: AotMatcher must give
+    a clear error for an ORB pack, not a KeyError."""
+    source, template = pair
+    path = str(tmp_path / "orb2.npz")
+    export_orb_pack(path, CFG, source.shape, template.shape)
+    with pytest.raises(ValueError, match="not a match pack"):
+        fipm.AotMatcher.load(path)
