@@ -153,21 +153,9 @@ def export_match_pack(path: str, pattern: LearnedPattern, cfg: MatchConfig,
         arrs["exp_single_uncapped"] = np.frombuffer(blob_uncapped, np.uint8)
     for b, blob in batch_blobs.items():
         arrs[f"exp_batch_{b}"] = np.frombuffer(blob, np.uint8)
-    if exe_blobs:
-        arrs["exe_backend"] = np.frombuffer(
-            jax.default_backend().encode(), np.uint8)
-        for name, blob in exe_blobs.items():
-            arrs[f"exe_{name}"] = np.frombuffer(blob, np.uint8)
-    with open(path, "wb") as f:
-        # Compressed: executables/StableHLO deflate ~5x; np.load
-        # decompresses lazily per entry, pairing with _LazyFn so only
-        # the programs actually used pay the inflate cost.
-        np.savez_compressed(f, **arrs)
-    if log:
-        log(f"pack {path}: "
-            f"{sum(np.asarray(v).nbytes for v in arrs.values())/1e6:.2f} MB "
-            f"uncompressed, "
-            f"programs={1 + (blob_uncapped is not None) + len(batch_blobs)}")
+    _finish_pack(path, arrs, exe_blobs,
+                 1 + (blob_uncapped is not None) + len(batch_blobs),
+                 "pack", log)
     return timings
 
 
@@ -242,6 +230,45 @@ class _LazyFn:
             return self._fn(*args)
 
 
+
+def _finish_pack(path, arrs, exe_blobs, n_programs, label, log):
+    """Shared tail of both exporters: attach bundled-executable entries,
+    write the compressed npz, log the uncompressed size."""
+    if exe_blobs:
+        arrs["exe_backend"] = np.frombuffer(
+            jax.default_backend().encode(), np.uint8)
+        for name, blob in exe_blobs.items():
+            arrs[f"exe_{name}"] = np.frombuffer(blob, np.uint8)
+    with open(path, "wb") as f:
+        # Compressed: executables/StableHLO deflate ~5x; np.load
+        # decompresses lazily per entry, pairing with _LazyFn so only
+        # the programs actually used pay the inflate cost.
+        np.savez_compressed(f, **arrs)
+    if log:
+        log(f"{label} {path}: "
+            f"{sum(np.asarray(v).nbytes for v in arrs.values())/1e6:.2f} MB "
+            f"uncompressed, programs={n_programs}")
+
+
+def _load_pack_fns(data, norm, backend):
+    """Shared loader loop: one _LazyFn per exported program, preferring
+    the bundled executable when the backend matches (single-device)."""
+    exe_backend = (bytes(data["exe_backend"]).decode()
+                   if "exe_backend" in data.files else None)
+    use_exe = (exe_backend is not None
+               and norm(exe_backend) == norm(backend)
+               and _exe_bundling_ok())
+    fns = {}
+    for key in data.files:
+        if not key.startswith("exp_"):
+            continue
+        name = key[4:]
+        exe_key = (f"exe_{name}"
+                   if use_exe and f"exe_{name}" in data.files else None)
+        fns[name] = _LazyFn(name, data, exe_key, key)
+    return fns
+
+
 def _exe_bundling_ok() -> bool:
     """Bundled executables are single-device artifacts: jax's
     serialize_executable mis-assigns devices under a multi-device client
@@ -285,7 +312,6 @@ class AotMatcher:
 
     @classmethod
     def load(cls, path: str) -> "AotMatcher":
-        from jax import export as jexport
         data = np.load(path)
         ver = int(data["format_version"])
         if ver != _FORMAT_VERSION:
@@ -310,19 +336,7 @@ class AotMatcher:
         # Bundled executables (include_executables=True at export): load
         # them directly and skip the XLA pipeline entirely; fall back to
         # the portable StableHLO blobs on backend mismatch or any error.
-        exe_backend = (bytes(data["exe_backend"]).decode()
-                       if "exe_backend" in data.files else None)
-        use_exe = (exe_backend is not None
-                   and norm(exe_backend) == norm(backend)
-                   and _exe_bundling_ok())
-        fns = {}
-        for key in data.files:
-            if not key.startswith("exp_"):
-                continue
-            name = key[4:]
-            exe_key = (f"exe_{name}"
-                       if use_exe and f"exe_{name}" in data.files else None)
-            fns[name] = _LazyFn(name, data, exe_key, key)
+        fns = _load_pack_fns(data, norm, backend)
         return cls(pattern, cfg, src_shape, fns, platforms)
 
     @property
@@ -472,20 +486,8 @@ def export_orb_pack(path: str, cfg, src_shape: Tuple[int, int],
     }
     for b, blob in batch_blobs.items():
         arrs[f"exp_batch_{b}"] = np.frombuffer(blob, np.uint8)
-    if exe_blobs:
-        arrs["exe_backend"] = np.frombuffer(
-            jax.default_backend().encode(), np.uint8)
-        for name, blob in exe_blobs.items():
-            arrs[f"exe_{name}"] = np.frombuffer(blob, np.uint8)
-    with open(path, "wb") as f:
-        # Compressed: executables/StableHLO deflate ~5x; np.load
-        # decompresses lazily per entry, pairing with _LazyFn so only
-        # the programs actually used pay the inflate cost.
-        np.savez_compressed(f, **arrs)
-    if log:
-        log(f"orb pack {path}: "
-            f"{sum(len(np.asarray(v).tobytes()) for v in arrs.values())/1e6:.2f}"
-            f" MB, programs={1 + len(batch_blobs)}")
+    _finish_pack(path, arrs, exe_blobs, 1 + len(batch_blobs),
+                 "orb pack", log)
     return timings
 
 
@@ -509,7 +511,6 @@ class AotOrb:
 
     @classmethod
     def load(cls, path: str) -> "AotOrb":
-        from jax import export as jexport
         from .models.orb import ORBConfig
         data = np.load(path)
         ver = int(data["format_version"])
@@ -529,19 +530,7 @@ class AotOrb:
             raise ValueError(
                 f"pack was exported for {platforms}, current backend is "
                 f"{backend!r} — re-export on this platform")
-        exe_backend = (bytes(data["exe_backend"]).decode()
-                       if "exe_backend" in data.files else None)
-        use_exe = (exe_backend is not None
-                   and norm(exe_backend) == norm(backend)
-                   and _exe_bundling_ok())
-        fns = {}
-        for key in data.files:
-            if not key.startswith("exp_"):
-                continue
-            name = key[4:]
-            exe_key = (f"exe_{name}"
-                       if use_exe and f"exe_{name}" in data.files else None)
-            fns[name] = _LazyFn(name, data, exe_key, key)
+        fns = _load_pack_fns(data, norm, backend)
         return cls(cfg, int(data["seed"]), src_shape, templ_shape, fns,
                    platforms)
 

@@ -91,11 +91,12 @@ def _build_bands(templ_c: jnp.ndarray, dtype):
     k_b = jax.lax.broadcasted_iota(jnp.int32, (w1p, TX), 0) + TX
     v_b = jax.lax.broadcasted_iota(jnp.int32, (w1p, TX), 1)
 
+    da = k_a - v_a
+    db = k_b - v_b
+
     def one_dy(dy):
         if dy >= h:
             return (jnp.zeros((TX, TX), dtype), jnp.zeros((w1p, TX), dtype))
-        da = k_a - v_a
-        db = k_b - v_b
         a = jnp.zeros((TX, TX), dtype)
         b = jnp.zeros((w1p, TX), dtype)
         for j in range(w):
@@ -139,7 +140,7 @@ def _corr_body(h, w, nyg, ty_rows, merge_ab, slabA0, slabA1, slabB0, slabB1,
         y0 = ty * ty_rows
         acc = jnp.zeros((ty_rows, TX), accdt)
         for r in range(8):
-            nq_r = sum(1 for dy in range(r, h, 8))
+            nq_r = len(range(r, h, 8))
             if nq_r == 0:
                 continue
             piecesA = [rotA[r, y0 + 8 * q:y0 + 8 * q + ty_rows, :]
