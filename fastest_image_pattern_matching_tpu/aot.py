@@ -17,6 +17,14 @@ so a server restart reaches its steady-state latency on the first batch.
 (Reference analogue: QSettings persists the UI's parameters across runs,
 src/MatchToolDialog.cpp:495-561 — here the persisted artifact is the
 compiled pipeline itself, the part a TPU library actually needs.)
+
+SECURITY — packs are code. A pack exported with include_executables=True
+bundles pickled compiled executables, and loading it runs pickle.loads
+(arbitrary code execution for a malicious file). Even without
+executables, a pack's StableHLO programs are executed as-is. Only load
+packs from trusted sources — treat a pack file exactly like a shared
+library you would dlopen. Loaders verify format, not provenance; the
+trust decision is the caller's.
 """
 
 from __future__ import annotations

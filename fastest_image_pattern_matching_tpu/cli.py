@@ -136,6 +136,16 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--every-frame", action="store_true",
                    help="with --camera: process every frame instead of "
                    "latest-only (file replay mode)")
+    w.add_argument("--exposure", type=float, default=None,
+                   help="with --camera: exposure (cv2 CAP_PROP_EXPOSURE "
+                   "passthrough; dvpSetExposure analogue)")
+    w.add_argument("--gain", type=float, default=None,
+                   help="with --camera: analog gain (CAP_PROP_GAIN; "
+                   "dvpSetAnalogGain analogue)")
+    w.add_argument("--trigger", action="store_true",
+                   help="with --camera: software-trigger mode — fire one "
+                   "capture per match loop instead of free-running "
+                   "(dvpSetTriggerSource/dvpTriggerFire analogue)")
     w.add_argument("--out", default=None, help="JSONL results path")
     w.add_argument("--interval", type=float, default=0.5)
     w.add_argument("--max-frames", type=int, default=0,
@@ -423,12 +433,36 @@ def _cmd_watch(args) -> int:
 
     if args.camera is not None:
         from .utils.imageio import ensure_gray
+        from .utils.settings import save_settings
         from .utils.sources import VideoCaptureSource
         src_id = int(args.camera) if args.camera.isdigit() else args.camera
         n = 0
         with VideoCaptureSource(src_id, max_frames=args.max_frames,
-                                latest_only=not args.every_frame) as cam:
-            for frame in cam.frames():
+                                latest_only=not args.every_frame,
+                                exposure=args.exposure,
+                                gain=args.gain) as cam:
+            # Persist the camera selection + parameters, like the
+            # reference's saveCameraSettings QSettings store
+            # (src/CameraPreviewDialog.cpp:784-812).
+            save_settings({"last_camera": str(args.camera),
+                           "camera_exposure": args.exposure,
+                           "camera_gain": args.gain})
+
+            def frame_iter():
+                if args.trigger:
+                    # Software-trigger mode: one capture per loop
+                    # (dvpTriggerFire per inspection cycle).
+                    cam.set_trigger(True)
+                    while not (args.max_frames
+                               and cam.frame_count >= args.max_frames):
+                        try:
+                            yield cam.trigger_fire()
+                        except RuntimeError:
+                            break         # stream ended / fire failed
+                else:
+                    yield from cam.frames()
+
+            for frame in frame_iter():
                 if frame.ndim == 3:
                     frame = ensure_gray(frame)
                 t0 = time.perf_counter()

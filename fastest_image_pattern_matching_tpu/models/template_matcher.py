@@ -197,7 +197,7 @@ def _top_sweep_arrays(plan: _Plan):
             np.array(valid_wh, np.int32), np.array(plan.angles, np.float32))
 
 
-def build_stages(plan: _Plan, stats, thr=None):
+def build_stages(plan: _Plan, stats, thr=None, narrow_hook=None):
     """Build the pipeline stage functions for a static plan.
 
     Returns a namespace of pure, trace-compatible functions; the single-chip
@@ -210,6 +210,12 @@ def build_stages(plan: _Plan, stats, thr=None):
     only in `score` shares one XLA program (the _stats_key idea
     generalized to thresholds). None bakes plan.layer_scores as constants
     (the sharded/profiling composition paths).
+
+    narrow_hook: optional fn(ptLT, ang, score, alive) -> alive used by the
+    angle-sharded composition (parallel/matcher.py) to perform candidate
+    narrowing GLOBALLY (collective top-cl over all shards) instead of the
+    local physical truncation — keeping narrow_candidates exact under
+    sharding.
     """
     cfg = plan.cfg
     if thr is None:
@@ -444,14 +450,27 @@ def build_stages(plan: _Plan, stats, thr=None):
             # TPU divergence knob: below large layers, narrow the static
             # candidate set to the top scorers (the reference refines every
             # candidate; with the generous bound this only drops candidates
-            # that cannot reach the top max_pos).
+            # that cannot reach the top max_pos). Tie-break is the
+            # deterministic finalize convention (score desc, then y, x,
+            # angle), NOT array order: the kept multiset is then a pure
+            # function of the candidate VALUES, so the angle-sharded
+            # descent (which sees the same candidates in a different
+            # partition/order) keeps the same set via narrow_hook below.
             if cfg.narrow_candidates and th_l * tw_l > 4096:
-                cl = min(ptLT.shape[0], max(2 * cfg.max_pos + 4, 16))
-                if cl < ptLT.shape[0]:
-                    key = jnp.where(alive, score, jnp.float32(-2.0))
-                    order = jnp.argsort(-key, stable=True)[:cl]
-                    ptLT, ang, score, alive = (ptLT[order], ang[order],
-                                               score[order], alive[order])
+                if narrow_hook is not None:
+                    # Sharded path: the hook narrows the GLOBAL candidate
+                    # set (collective) and returns an updated alive mask —
+                    # shapes stay fixed; dropped candidates just die.
+                    alive = narrow_hook(ptLT, ang, score, alive)
+                else:
+                    cl = min(ptLT.shape[0], max(2 * cfg.max_pos + 4, 16))
+                    if cl < ptLT.shape[0]:
+                        key = jnp.where(alive, score, jnp.float32(-2.0))
+                        order = jnp.lexsort(
+                            (ang, ptLT[:, 0], ptLT[:, 1], -key))[:cl]
+                        ptLT, ang, score, alive = (ptLT[order], ang[order],
+                                                   score[order],
+                                                   alive[order])
             ptLT, ang, score, alive = descend_layer(
                 l, pyr[l], templs[l], ptLT, ang, score, alive)
         return ptLT, ang, score, alive

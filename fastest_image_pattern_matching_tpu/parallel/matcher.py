@@ -19,8 +19,11 @@ angle group. This completes SURVEY §7 step 7: images and candidate
 angles sharded data-parallel, per-shard work, all_gather merge.
 
 Exactness vs single-chip: candidates are descended independently (same
-per-candidate arithmetic), and finalize orders candidates with a
-position-based tie-break, so the partition cannot change the result.
+per-candidate arithmetic), finalize orders candidates with a
+position-based tie-break, and cfg.narrow_candidates narrows the GLOBAL
+candidate set (all_gather + value-keyed top-cl mask, matching the
+single-chip deterministic tie-break) rather than each shard locally —
+so the partition cannot change the result.
 Score thresholds and template stats are traced — score-only retunes and
 same-shape templates reuse the compiled sharded program, like the
 single-chip path. NMS overflow triggers the same uncapped re-dispatch.
@@ -71,7 +74,29 @@ def build_sharded_match(plan: _Plan, ekey, mesh: Mesh):
         # srcs_l: [Bl, H, W]; inv_l/valid_l: local angle shard.
         stats = tuple((t[0], t[1], t[2], e)
                       for t, e in zip(tstats, ekey))
-        st = build_stages(plan, stats, thr)
+
+        def narrow_hook(ptLT, ang, score, alive):
+            """Global candidate narrowing under sharding: gather every
+            shard's candidates, keep the global top-cl by the
+            deterministic (score desc, y, x, angle) key — the same kept
+            multiset as single-chip's physical truncation — and mask this
+            shard's slice. Dropped candidates stay in place but dead
+            (chunk-skipping makes them ~free)."""
+            cl = max(2 * plan.cfg.max_pos + 4, 16)
+            if Cp <= cl:
+                return alive
+            gpt = jax.lax.all_gather(ptLT, ANGLE_AXIS, axis=0, tiled=True)
+            gang = jax.lax.all_gather(ang, ANGLE_AXIS, axis=0, tiled=True)
+            gsc = jax.lax.all_gather(score, ANGLE_AXIS, axis=0, tiled=True)
+            gal = jax.lax.all_gather(alive, ANGLE_AXIS, axis=0, tiled=True)
+            key = jnp.where(gal, gsc, jnp.float32(-2.0))
+            order = jnp.lexsort((gang, gpt[:, 0], gpt[:, 1], -key))
+            keep = jnp.zeros((Cp,), bool).at[order[:cl]].set(True)
+            ai_h = jax.lax.axis_index(ANGLE_AXIS)
+            return alive & jax.lax.dynamic_slice_in_dim(
+                keep, ai_h * Cl, Cl)
+
+        st = build_stages(plan, stats, thr, narrow_hook=narrow_hook)
         ai = jax.lax.axis_index(ANGLE_AXIS)
 
         def one_image_sweep(src):

@@ -11,6 +11,8 @@ from __future__ import annotations
 import multiprocessing
 import time
 
+import numpy as np
+
 
 def _probe(q, platform):
     try:
@@ -55,4 +57,71 @@ def wait_for_device(max_wait_s: float = 1200.0, probe_timeout_s: float = 90.0,
             import sys
             print(f"[health] device unresponsive; retrying in "
                   f"{retry_gap_s:.0f}s", file=sys.stderr, flush=True)
+        time.sleep(retry_gap_s)
+
+
+def claim_healthy_window(max_wait_s: float = 1800.0,
+                         floor_threshold_ms: float = 35.0,
+                         retry_gap_s: float = 60.0,
+                         log=None) -> dict:
+    """Block IN-PROCESS until the device both answers correctly and shows
+    a sane dispatch floor; returns provenance for benchmark artifacts.
+
+    Official benchmarks (bench.py, tools/suite_bench.py,
+    tools/stream_bench.py) call this before timing so round headline
+    numbers aren't hostage to the tunnel's wedge phases (VERDICT r4
+    item 2). In-process on purpose: a subprocess probe would
+    claim/release the serialized device and poison this process's own
+    claim. A wedged tunnel makes the first op below BLOCK (that IS the
+    wait), so claim_s records how long the window took to open.
+
+    Returns {claim_s, floor_ms, attempts, healthy}: healthy=False means
+    the deadline passed with the floor still above threshold — callers
+    should record that in the artifact rather than refuse to run.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    trivial = jax.jit(lambda x: jnp.sum(x))
+    base = jnp.arange(1024, dtype=jnp.float32)
+    attempts = 0
+    floor_ms = None
+    while True:
+        attempts += 1
+        # Known-answer VALUE check (mid-wedge buffers can read back
+        # zero-filled); blocks until the tunnel serves us.
+        v = float(trivial(base + np.float32(attempts)))
+        expect = 523776.0 + 1024.0 * attempts
+        if abs(v - expect) > 0.5:
+            if log:
+                log(f"[health] device returned garbage ({v} != {expect}); "
+                    f"retrying in {retry_gap_s:.0f}s")
+            if time.time() - t0 + retry_gap_s > max_wait_s:
+                return {"claim_s": round(time.time() - t0, 1),
+                        "floor_ms": floor_ms, "attempts": attempts,
+                        "healthy": False}
+            time.sleep(retry_gap_s)
+            continue
+        # Dispatch-floor probe: median of 3 varied trivial dispatches
+        # (varied inputs — repeated identical executions can be served
+        # from a tunnel cache).
+        fs = []
+        for i in range(3):
+            tp = time.perf_counter()
+            float(trivial(base + np.float32(100 + attempts * 10 + i)))
+            fs.append((time.perf_counter() - tp) * 1000.0)
+        floor_ms = sorted(fs)[1]
+        if floor_ms <= floor_threshold_ms:
+            return {"claim_s": round(time.time() - t0, 1),
+                    "floor_ms": round(floor_ms, 2), "attempts": attempts,
+                    "healthy": True}
+        if time.time() - t0 + retry_gap_s > max_wait_s:
+            return {"claim_s": round(time.time() - t0, 1),
+                    "floor_ms": round(floor_ms, 2), "attempts": attempts,
+                    "healthy": False}
+        if log:
+            log(f"[health] dispatch floor {floor_ms:.1f} ms > "
+                f"{floor_threshold_ms:.0f} ms; waiting for a healthy "
+                f"window ({retry_gap_s:.0f}s)")
         time.sleep(retry_gap_s)

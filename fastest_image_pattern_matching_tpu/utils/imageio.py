@@ -20,8 +20,13 @@ def ensure_gray(img, channel_axis_only: bool = False):
     reference uses throughout, MatchToolDlg.cpp:506-525) is converted with
     BT.601 luma exactly like cv::cvtColor(BGR2GRAY): fixed-point for uint8
     inputs, float weights otherwise. Works on numpy and jax arrays; leaves
-    channel-less input untouched. `channel_axis_only=True` raises instead
-    of converting (callers that require pre-grayscaled input)."""
+    channel-less 2D (H, W) input untouched. `channel_axis_only=True` raises
+    instead of converting (callers that require pre-grayscaled input)."""
+    if img.ndim < 2:
+        raise ValueError(f"expected an image array, got ndim={img.ndim}")
+    if img.ndim == 2:
+        # Already grayscale — the trailing axis is width, not channels.
+        return img
     ch = img.shape[-1]
     if ch == 1:
         return img[..., 0]

@@ -14,11 +14,14 @@ from typing import Any, Dict
 
 # The persisted parameter set mirrors MatchToolDialog::saveSettings
 # (src/MatchToolDialog.cpp:528-561): the 5 numeric params, the checkboxes,
-# and the last source/template paths.
+# and the last source/template paths — plus the camera store
+# (CameraPreviewDialog::saveCameraSettings, src/CameraPreviewDialog.cpp:
+# 722-739: last selected camera, exposure, gain, trigger flag).
 PERSISTED_KEYS = (
     "max_pos", "max_overlap", "score", "tolerance_angle", "min_reduce_area",
     "use_subpixel", "bitwise_not", "fast_mode", "compute_dtype",
     "last_source", "last_template",
+    "last_camera", "camera_exposure", "camera_gain", "camera_trigger",
 )
 
 

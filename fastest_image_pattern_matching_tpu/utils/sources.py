@@ -81,33 +81,150 @@ class VideoCaptureSource(FrameSource):
     always sees the freshest frame and slow matches drop frames instead of
     back-pressuring the camera.
 
+    Camera control surface (the CameraPreviewDialog parameter set,
+    src/CameraPreviewDialog.cpp:310-658): scan() enumerates devices
+    (dvpRefresh/dvpEnum :310-362), set_exposure/set_gain map
+    dvpSetExposure (:434) / dvpSetAnalogGain (:440) onto the
+    cv2.CAP_PROP_* passthrough, set_trigger + trigger_fire implement the
+    software-trigger mode (dvpSetTriggerState/dvpSetTriggerSource :446-455,
+    dvpTriggerFire :658): with the trigger armed the free-running grabber
+    stops and each trigger_fire() captures exactly one frame on demand.
+    frame_count mirrors the dvpGetFrameCount status readout (:693).
+
     Usage:
         with VideoCaptureSource(0) as cam:          # /dev/video0
             for frame in cam.frames():
                 ...
         VideoCaptureSource("clip.avi", latest_only=False)  # every frame
+        with VideoCaptureSource(0, exposure=8000, gain=2.0) as cam:
+            cam.set_trigger(True)
+            frame = cam.trigger_fire()              # capture-on-demand
     """
 
     def __init__(self, source, max_frames: int = 0, latest_only: bool = True,
-                 timeout_s: float = 3.0):
+                 timeout_s: float = 3.0, exposure: float = None,
+                 gain: float = None, cap_factory=None):
         self.source = source
         self.max_frames = max_frames
         self.latest_only = latest_only
         # Frame timeout mirrors the reference's 3 s dvpGetFrame timeout
         # (src/CameraPreviewDialog.cpp:87).
         self.timeout_s = timeout_s
+        self._init_exposure = exposure
+        self._init_gain = gain
+        # Injection point for tests / non-cv2 grabbers; None = cv2.
+        self._cap_factory = cap_factory
         self._cap = None
         self._thread = None
         self._stop = None
+        self._trigger = False
+        self.frame_count = 0          # frames delivered (dvpGetFrameCount)
+
+    @staticmethod
+    def scan(max_devices: int = 16, cap_factory=None):
+        """Enumerate openable capture devices 0..max_devices-1 — the
+        dvpRefresh/dvpEnum scan (src/CameraPreviewDialog.cpp:310-362,
+        which also caps at 16). Returns the list of openable indices."""
+        if cap_factory is None:
+            import cv2
+            cap_factory = cv2.VideoCapture
+        found = []
+        for i in range(max_devices):
+            cap = cap_factory(i)
+            try:
+                if cap.isOpened():
+                    found.append(i)
+            finally:
+                cap.release()
+        return found
 
     def open(self):
-        import cv2
         if self._cap is None:
-            self._cap = cv2.VideoCapture(self.source)
+            factory = self._cap_factory
+            if factory is None:
+                import cv2
+                factory = cv2.VideoCapture
+            self._cap = factory(self.source)
             if not self._cap.isOpened():
                 self._cap = None
                 raise RuntimeError(f"cannot open capture {self.source!r}")
+            # initCameraParameters (src/CameraPreviewDialog.cpp:421-466):
+            # apply the configured exposure/gain right after open.
+            if self._init_exposure is not None:
+                self.set_exposure(self._init_exposure)
+            if self._init_gain is not None:
+                self.set_gain(self._init_gain)
         return self
+
+    # --- parameter controls (cv2 CAP_PROP passthrough) -----------------
+    def _prop(self, name: str) -> int:
+        import cv2
+        return getattr(cv2, f"CAP_PROP_{name}")
+
+    def set_exposure(self, value: float) -> bool:
+        """dvpSetExposure (src/CameraPreviewDialog.cpp:434, :670). Returns the
+        driver's accept/reject status, like dvpStatus."""
+        self._require_open()
+        return bool(self._cap.set(self._prop("EXPOSURE"), float(value)))
+
+    def get_exposure(self) -> float:
+        self._require_open()
+        return float(self._cap.get(self._prop("EXPOSURE")))
+
+    def set_gain(self, value: float) -> bool:
+        """dvpSetAnalogGain (src/CameraPreviewDialog.cpp:440, :685)."""
+        self._require_open()
+        return bool(self._cap.set(self._prop("GAIN"), float(value)))
+
+    def get_gain(self) -> float:
+        self._require_open()
+        return float(self._cap.get(self._prop("GAIN")))
+
+    def set_trigger(self, enabled: bool) -> None:
+        """Arm/disarm the software trigger (dvpSetTriggerState +
+        TRIGGER_SOURCE_SOFTWARE, src/CameraPreviewDialog.cpp:447-458,
+        628-650). Armed: the free-running grabber stops; frames are
+        captured one per trigger_fire(). Disarmed: frames() streams
+        free-running again."""
+        self._require_open()
+        self._trigger = bool(enabled)
+        if enabled and self._stop is not None:
+            # Stop a running free-stream grabber thread.
+            self._stop.set()
+            if self._thread is not None:
+                self._thread.join(timeout=self.timeout_s)
+                self._thread = None
+
+    @property
+    def trigger_enabled(self) -> bool:
+        return self._trigger
+
+    def trigger_fire(self):
+        """Capture exactly one frame on demand (dvpTriggerFire,
+        src/CameraPreviewDialog.cpp:652-661). Requires the trigger armed,
+        like the reference's guard (:654). Returns a grayscale frame, or
+        raises if the capture produced none."""
+        self._require_open()
+        if not self._trigger:
+            raise RuntimeError("software trigger is not armed; call "
+                               "set_trigger(True) first")
+        ok, frame = self._cap.read()
+        if not ok:
+            raise RuntimeError("trigger fire produced no frame")
+        self.frame_count += 1
+        return self._to_gray(frame)
+
+    def _require_open(self):
+        if self._cap is None:
+            raise RuntimeError("capture is not open (call open() or use "
+                               "the context manager)")
+
+    @staticmethod
+    def _to_gray(frame):
+        if frame.ndim == 3:
+            from .imageio import ensure_gray
+            return ensure_gray(frame)
+        return frame
 
     def close(self):
         if self._stop is not None:
@@ -129,7 +246,6 @@ class VideoCaptureSource(FrameSource):
         """Threaded grabber: latest-frame mailbox (live-camera mode)."""
         import threading
         import queue
-        import cv2
 
         slot = queue.Queue(maxsize=1)
         self._stop = threading.Event()
@@ -154,15 +270,18 @@ class VideoCaptureSource(FrameSource):
                 frame = slot.get(timeout=self.timeout_s)
             except queue.Empty:
                 break                     # grabber stalled or stream ended
-            yield cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY) \
-                if frame.ndim == 3 else frame
+            self.frame_count += 1
+            yield self._to_gray(frame)
             n += 1
         self._stop.set()
 
     def frames(self) -> Iterator[np.ndarray]:
-        import cv2
         if self._cap is None:
             self.open()
+        if self._trigger:
+            raise RuntimeError(
+                "software trigger is armed — capture frames with "
+                "trigger_fire(), or set_trigger(False) to free-run")
         try:
             if self.latest_only:
                 yield from self._frames_latest()
@@ -172,8 +291,8 @@ class VideoCaptureSource(FrameSource):
                     ok, frame = self._cap.read()
                     if not ok:
                         break
-                    yield cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY) \
-                        if frame.ndim == 3 else frame
+                    self.frame_count += 1
+                    yield self._to_gray(frame)
                     n += 1
         finally:
             self.close()

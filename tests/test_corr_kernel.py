@@ -30,6 +30,22 @@ def test_tiledband_exact_vs_conv(shape, dtype):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_small_output_tall_template_tile_rows64():
+    """tile_rows=64 with a tall template and a short output: the rotation
+    staging needs G >= 8*ceil(h/8)+7 slab rows, which the kernel satisfies
+    by bumping the row-tiles-per-step (ADVICE r4: this used to fail at
+    trace time with an opaque slice error)."""
+    rng = np.random.default_rng(3)
+    B, H, W, h, w = 1, 90, 180, 57, 9
+    S = rng.integers(0, 256, (B, H, W)).astype(np.float32) - 128.0
+    T = rng.integers(0, 256, (h, w)).astype(np.float32) - 128.0
+    ref = np.asarray(ccorr_conv(jnp.asarray(S), jnp.asarray(T), "f32"))
+    got = np.asarray(ccorr_tiledband_pallas(
+        jnp.asarray(S), jnp.asarray(T), "int8", interpret=True,
+        tile_rows=64))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_eligibility_bounds():
     assert eligible(27, 27) and eligible(MAX_H, MAX_W) and eligible(1, 2)
     assert not eligible(MAX_H + 1, 27)

@@ -170,6 +170,38 @@ def test_sharded_input_guards(setup):
         match_batch_sharded(scenes[0], pat, cfg, mesh)
 
 
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+def test_sharded_narrow_candidates_matches_single_chip(mesh_shape):
+    """cfg.narrow_candidates under sharding (ADVICE r4 medium): the
+    sharded path must narrow the GLOBAL candidate set, not each shard's
+    slice — asserted by equality with the single-chip narrowed result on
+    a template large enough (level-0 area > 4096) to trigger narrowing
+    with more candidates than the narrow bound."""
+    rng = np.random.default_rng(21)
+    t = np.full((72, 88), 35, np.uint8)
+    cv2.rectangle(t, (6, 6), (81, 65), 210, 3)
+    cv2.line(t, (10, 60), (78, 12), 255, 4)
+    cv2.circle(t, (30, 40), 12, 130, -1)
+    scene = rng.integers(0, 30, size=(420, 500), dtype=np.uint8)
+    for (y, x) in [(30, 40), (200, 300), (310, 90)]:
+        scene[y:y + 72, x:x + 88] = t
+    pat = learn_pattern(t, 256)
+    cfg = MatchConfig(max_pos=3, score=0.6, tolerance_angle=180.0,
+                      narrow_candidates=True)
+    from fastest_image_pattern_matching_tpu.models.template_matcher import (
+        _make_plan)
+    plan = _make_plan(scene.shape, pat, cfg)
+    assert plan.c_max > max(2 * cfg.max_pos + 4, 16), \
+        "config must actually exercise narrowing"
+    ref = match_arrays(scene, pat, cfg)
+    assert ref["valid"].sum() == 3
+    out = match_batch_sharded(scene[None], pat, cfg, make_mesh(mesh_shape))
+    np.testing.assert_array_equal(out["valid"][0], ref["valid"])
+    np.testing.assert_allclose(out["score"][0], ref["score"], atol=1e-5)
+    np.testing.assert_allclose(out["center"][0], ref["center"], atol=1e-3)
+    np.testing.assert_allclose(out["angle"][0], ref["angle"], atol=1e-3)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_sharded_equals_single_chip_fuzz(seed):
     """Randomized configs/scenes: sharded must equal single-chip for
