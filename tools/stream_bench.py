@@ -73,6 +73,15 @@ def main():
     warm = np.zeros((8,) + HW, np.uint8)
     fipm.match_many(warm, pattern, cfg, batch_bucket=8)
 
+    # Health gate (VERDICT r4 items 2/6: round 4 shipped a soak measured
+    # mid-wedge): block until the tunnel shows a sane dispatch floor, and
+    # record the claim in the artifact.
+    from fastest_image_pattern_matching_tpu.utils.health import (
+        claim_healthy_window)
+    health = claim_healthy_window(
+        max_wait_s=1500.0, floor_threshold_ms=35.0,
+        log=lambda m: print(m, file=sys.stderr, flush=True))
+
     src = VideoCaptureSource(path, latest_only=False)
     found_ok = 0
     pos_ok = 0
@@ -99,6 +108,7 @@ def main():
 
     out = {
         "metric": "stream_soak",
+        "health": health,
         "frames": n_seen,
         "found_frames": found_ok,
         "position_ok_frames": pos_ok,

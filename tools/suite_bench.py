@@ -39,12 +39,22 @@ iteration is a genuinely distinct execution (no tunnel result caching).
 Completion forced by host readback. Input prep excluded from the timed
 region (protocol provenance: see bench.py "protocol" detail).
 
-Two numbers per row:
+Three numbers per row:
   ms            single-dispatch e2e latency (pays the ~24 ms tunnel
                 round-trip floor — ROOFLINE floor_ms)
+  onchip_ms     floor-free single-frame latency: R applications of the
+                FULL match program over R distinct frames inside one
+                jitted lax.scan, one scalar readback; (median - floor)/R
+                (the ROOFLINE protocol applied to the whole pipeline —
+                the apples-to-apples number vs the reference's i7
+                timings, which pay no 24-45 ms PCIe-tunnel round trip)
   api_ms_per_frame  per-frame latency of a B-frame batch through the
                 PUBLIC fipm.match_many API (the serving deployment
                 shape: one dispatch, B device-resident frames)
+
+Every row is health-gated (utils.health.claim_healthy_window): the row
+records the dispatch floor of its measurement window, so a wedge-phase
+row is visible in the artifact instead of silently poisoning it.
 
 Usage: timeout 3600 python tools/suite_bench.py  (or via tpu_job_server)
 """
@@ -179,10 +189,59 @@ def _load_scene(name, tpl):
     return cv2.imread(f"{IMG_DIR}/{name}", cv2.IMREAD_GRAYSCALE)
 
 
+def _onchip_ms(src_dev, pattern, cfg, floor_s, log):
+    """Floor-free on-chip single-frame latency: R full-match applications
+    over R distinct device-resident frames inside ONE jitted scan with a
+    single scalar readback (the ROOFLINE amortization protocol applied to
+    the whole pipeline). Returns (ms, reps) or (None, 0) on failure."""
+    import jax
+    import jax.numpy as jnp
+    from fastest_image_pattern_matching_tpu.models import (
+        template_matcher as tm)
+
+    try:
+        plan, ekey, args = tm._prepare(src_dev, pattern, cfg)
+        shared = tm._shared_plan(plan)
+        H, W = src_dev.shape
+        reps = int(max(2, min(8, (256 * 1024 * 1024) // (H * W * 4))))
+
+        def fn(stack, templs, tstats, inv, trans, vwh, angs, thr):
+            stats = tuple((t[0], t[1], t[2], e)
+                          for t, e in zip(tstats, ekey))
+            st = tm.build_stages(shared, stats, thr)
+
+            def step(acc, s):
+                out = st.match_fn(s, templs, inv, trans, vwh, angs)
+                return acc + jnp.sum(out["score"]) \
+                    + jnp.sum(out["center"]), 0.0
+            acc, _ = jax.lax.scan(step, jnp.float32(0.0), stack)
+            return acc
+
+        jfn = jax.jit(fn)
+        stack = jnp.stack([src_dev + np.float32(70 + i)
+                           for i in range(reps)])
+        float(stack[0, 0, 0])
+        float(jfn(stack, *args[1:]))          # compile + warm
+        ts = []
+        for i in range(3):
+            sv = stack + np.float32(90 + i)
+            float(sv[0, 0, 0])
+            t0 = time.perf_counter()
+            float(jfn(sv, *args[1:]))
+            ts.append(time.perf_counter() - t0)
+        dt = max((sorted(ts)[1] - floor_s) / reps, 1e-6)
+        return dt * 1000.0, reps
+    except Exception as e:
+        log(f"onchip protocol failed: {e!r}")
+        return None, 0
+
+
 def run_suite(iters=5, batch=8, log=print):
     import cv2
     import jax.numpy as jnp
     import fastest_image_pattern_matching_tpu as fipm
+    from fastest_image_pattern_matching_tpu.utils.health import (
+        claim_healthy_window)
 
     rows = []
     for name, s, d, kw, (ref_ms, ref_simd_ms), expect, note in TESTS:
@@ -194,6 +253,11 @@ def run_suite(iters=5, batch=8, log=print):
         cfg = fipm.MatchConfig(**kw)
         pattern = fipm.learn_pattern(tpl, cfg.min_reduce_area)
         src_dev = jnp.asarray(src, jnp.float32)
+
+        # Per-row health gate: wedges can start mid-suite; each row
+        # records its own window's dispatch floor.
+        health = claim_healthy_window(max_wait_s=900.0,
+                                      floor_threshold_ms=35.0, log=log)
 
         t0 = time.perf_counter()
         res = fipm.match(src_dev, pattern, cfg)  # compile + warmup
@@ -217,6 +281,11 @@ def run_suite(iters=5, batch=8, log=print):
             times.append((time.perf_counter() - ti) * 1000)
         ms = sorted(times)[len(times) // 2]
         assert len(r2) == len(res), "additive-offset invariance violated"
+
+        # Floor-free on-chip single-frame latency (VERDICT r4 item 1a).
+        onchip, onchip_reps = _onchip_ms(
+            src_dev, pattern, cfg, (health.get("floor_ms") or 25.0) / 1e3,
+            log)
 
         # Per-frame through the PUBLIC batched API: B distinct device-
         # resident frames, one compiled dispatch. Both candidate serving
@@ -254,6 +323,11 @@ def run_suite(iters=5, batch=8, log=print):
             "found": len(res), "expected_found": expect,
             "top_scores": [round(r.score, 3) for r in res[:5]],
             "ms": round(ms, 1), "first_call_ms": round(first_call, 1),
+            "health": health,
+            "onchip_ms": round(onchip, 1) if onchip is not None else None,
+            "onchip_reps": onchip_reps,
+            "onchip_vs_ref": (round(ref_ms / onchip, 2)
+                              if onchip else None),
             "api_ms_per_frame": (round(api_ms, 1)
                                  if api_ms is not None else None),
             "api_batch": api_batch,
@@ -268,9 +342,10 @@ def run_suite(iters=5, batch=8, log=print):
         }
         rows.append(row)
         log(f"{name} [{s} {src.shape} / {d} {tpl.shape}]: {ms:.1f} ms "
+            f"onchip={onchip and round(onchip, 1)} "
             f"(ref {ref_ms:.0f} / simd {ref_simd_ms or '-'}) "
             f"api/frame={api_ms and round(api_ms, 1)} "
-            f"found={len(res)} {note}")
+            f"found={len(res)} floor={health.get('floor_ms')} {note}")
     return rows
 
 
