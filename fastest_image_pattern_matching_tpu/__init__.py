@@ -30,6 +30,8 @@ from .aot import (AotMatcher, AotOrb, export_match_pack,
 from .models.orb import ORBConfig, ORBResult, orb_match, orb_match_many
 from .parallel.matcher import match_batch_sharded
 from .parallel.mesh import init_distributed, make_mesh
+from .parallel.serving import (make_data_mesh, match_patterns_sharded,
+                               orb_match_many_sharded)
 
 __version__ = "0.3.0"
 
@@ -41,4 +43,5 @@ __all__ = [
     "AotMatcher", "AotOrb", "export_match_pack", "export_orb_pack",
     "ORBConfig", "ORBResult", "orb_match", "orb_match_many",
     "match_batch_sharded", "make_mesh", "init_distributed",
+    "orb_match_many_sharded", "match_patterns_sharded", "make_data_mesh",
 ]

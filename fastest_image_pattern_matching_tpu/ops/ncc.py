@@ -263,12 +263,13 @@ def ncc_score_map(
                 import os as _os
                 from .pallas.corr_kernel import eligible as _tb_ok
                 on_tpu = jax.default_backend() in ("tpu", "axon")
-                # h >= 12: measured crossover (AUTOTUNE_r04.json /
-                # ROOFLINE_r04.json) — the kernel's fixed per-stripe
-                # rotation staging (8 sublane rolls) outweighs its
-                # issued-MAC advantage for very short templates, where
-                # the HBM-bound banded scan is already cheap.
-                if (on_tpu and _tb_ok(h, w) and h >= 12
+                # Round 5: the v2 ping-pong kernel beats banded on every
+                # measured eligible shape INCLUDING short templates (h=5:
+                # 0.59 vs 0.65 ms B16; h=8: 0.84 vs 1.13 ms B16, 0.55 vs
+                # 3.0 ms B1 — /tmp jobs 001/002, AUTOTUNE_r05), so the
+                # round-4 h>=12 crossover gate is gone: every eligible
+                # shape routes to the kernel on TPU.
+                if (on_tpu and _tb_ok(h, w)
                         and _os.environ.get("FIPM_TILEDBAND", "1") != "0"):
                     # Big score map, small template: the Pallas tiled-band
                     # kernel (one canvas read, ~6x MAC expansion vs the

@@ -23,11 +23,18 @@ Row-shift alignment (the part that shapes the kernel): Mosaic only
 allows dynamic/cheap memory access at sublane-tile granularity, but the
 band contraction needs row shifts slab[y+dy] for every dy in [0, h).
 Writing dy = 8q + r, the kernel materializes the 8 sublane ROTATIONS
-r = 0..7 of the slab into VMEM scratch once per grid step (8 static
-shuffle copies), after which every (q, ty) access is tile-aligned and
-free. The h dots per output tile then merge into 8 deep-K dots (one per
-residue r, contraction nq_r * TX deep) — MXU-shaped work instead of h
+r = 0..7 of the slab into VMEM scratch (static shuffle copies), after
+which every (q, ty) access is tile-aligned and free. The h dots per
+output tile then merge into 8 deep-K dots (one per residue r,
+contraction nq_r * TX deep) — MXU-shaped work instead of h
 latency-bound K=128 dots interleaved with h unaligned shuffles.
+
+v2 (round 5): the staging is ping-ponged. With the column stripe `i`
+innermost in the grid, step i's B block (column i+1) is step i+1's A
+block, so its staged rotations are kept in one of two alternating
+scratch buffers and reused — per step only ONE block's rotations are
+staged (v1 staged both), halving the staging copies that dominated the
+kernel's fixed cost (ROOFLINE_r04 target_notes).
 
 out[y, v] (stripe i) = sum_dy slab[y + dy, :] @ Band[dy],
 Band[dy][k, v] = T[dy, k - v] (0 <= k - v < w), split at the TX lane
@@ -125,54 +132,89 @@ def _build_bands(templ_c: jnp.ndarray, dtype):
 
 
 def _corr_body(h, w, nyg, ty_rows, merge_ab, slabA0, slabA1, slabB0, slabB1,
-               bandsA, bandsB, out_ref, rotA, rotB):
+               bandsA, bandsB, out_ref, rot0, rot1):
     accdt = jnp.int32 if bandsA.dtype == jnp.int8 else jnp.float32
     w1 = w - 1
     w1p = _w1p(w)
-    R = rotA.shape[1]
+    R = rot0.shape[1]
     dn = (((1,), (0,)), ((), ()))
+    # Rotations with no template rows (8q + r >= h for all q) are never
+    # read — skip their staging (matters for h < 8).
+    rs = range(min(8, h))
 
-    # Stage the 8 sublane rotations of this step's slab (rows G..2G of the
-    # next row-group provide the h-1 overlap): 8 static shuffle copies,
-    # after which every row access below is tile-aligned.
+    # Stage the sublane rotations of the slab (rows G..2G of the next
+    # row-group provide the h-1 overlap): static shuffle copies, after
+    # which every row access below is tile-aligned.
     # (pltpu.roll was tried for the staging and rejected by this Mosaic
-    # version at these shapes; static unaligned slices compile and cost
-    # ~2/3 of the kernel's fixed time — see ROOFLINE_r04 target_notes.)
-    valA = jnp.concatenate([slabA0[0], slabA1[0]], axis=0)
-    valB = jnp.concatenate([slabB0[0], slabB1[0]], axis=0)
-    for r in range(8):
-        rotA[r] = jax.lax.slice_in_dim(valA, r, r + R, axis=0)
-        rotB[r] = jax.lax.slice_in_dim(valB, r, r + R, axis=0)
+    # version at these shapes; static unaligned slices compile — they
+    # were ~2/3 of the kernel's fixed time in v1, see ROOFLINE_r04.)
+    #
+    # v2 ping-pong (round 5): with `i` the innermost grid dim, this
+    # step's B column block (col i+1) is the NEXT step's A block, so its
+    # rotations are staged once and REUSED: col j's rotations live in
+    # scratch buffer j % 2. Per step only the B block is staged (plus
+    # the A block at each stripe-row start i == 0) — half of v1's
+    # staging volume.
+    i = pl.program_id(2)
+    par = i % 2
 
-    for ty in range(nyg):
-        y0 = ty * ty_rows
-        acc = jnp.zeros((ty_rows, TX), accdt)
-        for r in range(8):
-            nq_r = len(range(r, h, 8))
-            if nq_r == 0:
-                continue
-            piecesA = [rotA[r, y0 + 8 * q:y0 + 8 * q + ty_rows, :]
-                       for q in range(nq_r)]
-            piecesB = ([rotB[r, y0 + 8 * q:y0 + 8 * q + ty_rows, :w1p]
-                        for q in range(nq_r)] if w1 else [])
-            if merge_ab and piecesB:
-                a_cat = jnp.concatenate(piecesA + piecesB, axis=1)
-                b_cat = jnp.concatenate(
-                    [bandsA[r, :nq_r * TX, :], bandsB[r, :nq_r * w1p, :]],
-                    axis=0)
-                acc = acc + jax.lax.dot_general(
-                    a_cat, b_cat, dn, preferred_element_type=accdt)
-            else:
-                acc = acc + jax.lax.dot_general(
-                    jnp.concatenate(piecesA, axis=1),
-                    bandsA[r, :nq_r * TX, :], dn,
-                    preferred_element_type=accdt)
-                if piecesB:
+    @pl.when(i == 0)
+    def _():
+        valA = jnp.concatenate([slabA0[0], slabA1[0]], axis=0)
+        for r in rs:
+            rot0[r] = jax.lax.slice_in_dim(valA, r, r + R, axis=0)
+
+    def stage_b(buf):
+        valB = jnp.concatenate([slabB0[0], slabB1[0]], axis=0)
+        for r in rs:
+            buf[r] = jax.lax.slice_in_dim(valB, r, r + R, axis=0)
+
+    @pl.when(par == 0)
+    def _():
+        stage_b(rot1)
+
+    @pl.when(par == 1)
+    def _():
+        stage_b(rot0)
+
+    def compute(rotA, rotB):
+        for ty in range(nyg):
+            y0 = ty * ty_rows
+            acc = jnp.zeros((ty_rows, TX), accdt)
+            for r in range(8):
+                nq_r = len(range(r, h, 8))
+                if nq_r == 0:
+                    continue
+                piecesA = [rotA[r, y0 + 8 * q:y0 + 8 * q + ty_rows, :]
+                           for q in range(nq_r)]
+                piecesB = ([rotB[r, y0 + 8 * q:y0 + 8 * q + ty_rows, :w1p]
+                            for q in range(nq_r)] if w1 else [])
+                if merge_ab and piecesB:
+                    a_cat = jnp.concatenate(piecesA + piecesB, axis=1)
+                    b_cat = jnp.concatenate(
+                        [bandsA[r, :nq_r * TX, :],
+                         bandsB[r, :nq_r * w1p, :]], axis=0)
                     acc = acc + jax.lax.dot_general(
-                        jnp.concatenate(piecesB, axis=1),
-                        bandsB[r, :nq_r * w1p, :], dn,
+                        a_cat, b_cat, dn, preferred_element_type=accdt)
+                else:
+                    acc = acc + jax.lax.dot_general(
+                        jnp.concatenate(piecesA, axis=1),
+                        bandsA[r, :nq_r * TX, :], dn,
                         preferred_element_type=accdt)
-        out_ref[0, y0:y0 + ty_rows, :] = acc.astype(jnp.float32)
+                    if piecesB:
+                        acc = acc + jax.lax.dot_general(
+                            jnp.concatenate(piecesB, axis=1),
+                            bandsB[r, :nq_r * w1p, :], dn,
+                            preferred_element_type=accdt)
+            out_ref[0, y0:y0 + ty_rows, :] = acc.astype(jnp.float32)
+
+    @pl.when(par == 0)
+    def _():
+        compute(rot0, rot1)
+
+    @pl.when(par == 1)
+    def _():
+        compute(rot1, rot0)
 
 
 @functools.partial(jax.jit,
@@ -183,13 +225,22 @@ def ccorr_tiledband_pallas(
     templ_c: jnp.ndarray,      # [h, w] f32, centered (T - 128)
     compute_dtype: str = "bf16",
     interpret: bool = False,
-    tile_rows: int = TY,
+    tile_rows: int = None,
     row_tiles: int = NYG,
     merge_ab: bool = MERGE_AB,
 ) -> jnp.ndarray:
     """Raw centered cross-correlation -> [B, Ho, Wo] f32."""
     B, H, W = canvases_c.shape
     h, w = templ_c.shape
+    if tile_rows is None:
+        # Measured v2 default (round-5 on-chip sweep, AUTOTUNE_r05):
+        # tile_rows=128 is best or within noise of best on every measured
+        # (shape, B) cell — t7 B4 0.87 vs 2.85 at 256, t4 B1 0.29 vs
+        # 0.55, h64 B1 3.9 vs 5.9; the one cell preferring 256 (t7 B1,
+        # 0.51 vs 0.66) loses 0.15 ms. Smaller row-groups also keep the
+        # rotation scratch within VMEM for bf16 (256-row groups at big
+        # maps OOM the Mosaic compile in bf16 — observed HTTP-500s).
+        tile_rows = 128
     # Loud validation (reachable from the public
     # ncc_score_map(method="tiledband"); the auto path pre-gates but the
     # explicit path must not silently mis-run — and asserts vanish
@@ -218,6 +269,15 @@ def ccorr_tiledband_pallas(
     # nyg — the extra rows are zero padding, not extra real work.
     while nyg * tile_rows < 8 * nq + 7:
         nyg += 1
+    # VMEM budget for the two rotation-scratch buffers (2 * 8 * R * TX *
+    # itemsize): wide dtypes at big row-groups OOM the Mosaic compile
+    # (bf16 G=2048 -> 8.5 MB scratch alone, observed compile failures);
+    # shrink the row-group until the scratch fits ~4.5 MB.
+    min_nyg = -(-(8 * nq + 7) // tile_rows)
+    itemsize = jnp.dtype(dt).itemsize
+    while nyg > min_nyg and \
+            2 * 8 * (nyg * tile_rows + 8 * nq) * TX * itemsize > 4_500_000:
+        nyg -= 1
     ng = pl.cdiv(ny, nyg)
     G = nyg * tile_rows             # output rows per grid step
     R = G + 8 * nq                  # rot-scratch rows (covers y0+8q+TY)

@@ -35,6 +35,8 @@ def test_conformance_case(name):
     if not _have(case):
         pytest.skip("reference images unavailable")
     src = load_gray(f"{TI}/{case['src']}")
+    if case.get("invert_src"):
+        src = 255 - src
     tpl = load_gray(f"{TI}/{case['dst']}")
     kw = dict(case["config"])
     cfg = fipm.MatchConfig(**kw)
