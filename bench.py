@@ -165,6 +165,54 @@ def main():
         if health["healthy"] and rms <= 62.0:
             break
 
+    # Floor-free on-chip latency: R=4 full matches over varied frames
+    # inside ONE jitted scan, single readback — (total - floor)/R. This
+    # is the number a deployment's accelerator actually spends per frame
+    # (PROFILE_r05: the single-dispatch value above additionally carries
+    # ~24 ms tunnel floor + ~24 ms executable-size-proportional
+    # per-dispatch overhead unique to this environment).
+    onchip = None
+    try:
+        import jax
+        from fastest_image_pattern_matching_tpu.models import (
+            template_matcher as tm)
+        plan, ekey, args = tm._prepare(scene_dev, pattern, cfg)
+        shared = tm._shared_plan(plan)
+
+        def scanned(stack, templs, tstats, inv, trans, vwh, angs, thr):
+            stats = tuple((t[0], t[1], t[2], e)
+                          for t, e in zip(tstats, ekey))
+            st = tm.build_stages(shared, stats, thr)
+
+            def step(acc, s):
+                out = st.match_fn(s, templs, inv, trans, vwh, angs)
+                return acc + jnp.sum(out["score"]) \
+                    + jnp.sum(out["center"]), 0.0
+            acc, _ = jax.lax.scan(step, jnp.float32(0.0), stack)
+            return acc
+
+        jfn = jax.jit(scanned)
+        stack4 = jnp.stack([scene_dev + np.float32(200 + i)
+                            for i in range(4)])
+        float(stack4[0, 0, 0])
+        float(jfn(stack4, *args[1:]))
+        trivial = jax.jit(lambda x: jnp.sum(x))
+        base = jnp.arange(1024, dtype=jnp.float32)
+        fl = []
+        ons = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            float(trivial(base + np.float32(300 + i)))
+            fl.append((time.perf_counter() - t0) * 1000.0)
+            sv = stack4 + np.float32(210 + i)
+            float(sv[0, 0, 0])
+            t0 = time.perf_counter()
+            float(jfn(sv, *args[1:]))
+            ons.append((time.perf_counter() - t0) * 1000.0)
+        onchip = round((sorted(ons)[1] - sorted(fl)[1]) / 4.0, 2)
+    except Exception as e:
+        print(f"bench: onchip protocol failed: {e!r}", file=sys.stderr)
+
     # Amortized per-frame latency through the PUBLIC batched API
     # (fipm.match_many): R distinct device-resident frames, ONE compiled
     # dispatch, so the ~24 ms serialized-tunnel round trip amortizes
@@ -208,6 +256,11 @@ def main():
             # Per-frame latency of an 8-frame batch through the public
             # fipm.match_many API (includes the amortized dispatch floor).
             "amortized_api_ms_per_frame": amortized,
+            # Floor-free on-chip per-frame latency (scanned protocol,
+            # see PROFILE_r05.json): what the accelerator itself spends.
+            "onchip_ms_per_frame": onchip,
+            "onchip_vs_baseline": (round(REFERENCE_MS / onchip, 2)
+                                   if onchip else None),
             # Timing-protocol provenance (changed in round 2): the
             # cache-busting additive-offset variants are materialized on
             # device BEFORE the timed region; timed iterations measure
