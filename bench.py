@@ -135,8 +135,8 @@ def main():
     off = 0
     for rnd in range(3):
         health = claim_healthy_window(
-            max_wait_s=1200.0 if rnd == 0 else 600.0,
-            floor_threshold_ms=35.0,
+            max_wait_s=600.0 if rnd == 0 else 300.0,
+            floor_threshold_ms=26.0,
             log=lambda m: print(m, file=sys.stderr, flush=True))
         variants = [scene_dev + np.float32(off + i)
                     for i in range(1, iters + 1)]
@@ -159,10 +159,12 @@ def main():
             }))
             return 1
         ms = rms if ms is None else min(ms, rms)
-        # Healthy window + median within ~12 ms of the floor-adjusted
-        # on-chip expectation: stop. Otherwise the window likely moved
-        # mid-measurement — re-claim and retry.
-        if health["healthy"] and rms <= 62.0:
+        # Accept only a genuinely healthy window (trivial floor <= 26 ms
+        # — the tunnel's good phase) whose median sits near the known
+        # floor+overhead+compute profile (PROFILE_r05: ~24+24+7). A
+        # higher median means the window moved mid-measurement:
+        # re-claim and retry (bounded); the best round is reported.
+        if health["healthy"] and rms <= 58.0:
             break
 
     # Floor-free on-chip latency: R=4 full matches over varied frames
