@@ -103,11 +103,15 @@ def warp_affine_pallas(
             tile_h = 8 if Ho <= 8 else (16 if Ho <= 16 else 32)
         else:
             # Large ROIs are partly DMA-bound: taller tiles amortize the
-            # fixed window fetch over more output rows. On-chip A/B (job
-            # 260_tileh_ab, v5e): th=16 fastest at flagship L0 (28.2 vs
-            # 29.2 ms for th=8, incl ~26 ms tunnel floor), th=32 in
-            # between (VMEM pressure); all exact.
-            tile_h = 16
+            # fixed window fetch over more output rows AND cut the
+            # per-pixel selection-matmul redundancy (2*WIN_H*SEL_W MACs
+            # per output pixel, amortized over th*TW pixels per tile).
+            # Round-5 scanned-protocol A/B (/tmp job 007, v5e): th=32
+            # beats th=16 at both flagship descent shapes (L0 24x527x768:
+            # 11.0 vs 12.4 ms; L1: 3.8 vs 4.2) and th=8 is worst (13.8) —
+            # the r4 single-dispatch A/B that picked 16 was dominated by
+            # per-dispatch overhead, not kernel time.
+            tile_h = 32
     assert tile_h in (8, 16, 32), tile_h
     th = tile_h
     n_ti = pl.cdiv(Ho, th)
