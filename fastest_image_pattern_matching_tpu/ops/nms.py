@@ -22,7 +22,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_MAXV = 12  # >= 8 possible vertices of quad-quad intersection, padded
+# Vertex-buffer capacity: clipping a convex polygon by a half-plane adds
+# at most one vertex, so 4 initial vertices + 4 clip planes bound the
+# intersection polygon at 8 (also the classic quad-quad bound). Round 5:
+# was 12 (conservative) — the one-hot masks scale quadratically, so 8
+# cuts the per-pair clip cost ~2x.
+_MAXV = 8
 
 
 def _clip_halfplane(pts, cnt, a, b):
@@ -127,17 +132,24 @@ def filter_overlaps(
     points (zero area) keep both (MatchToolDlg.cpp:1527).
     """
     C = quads.shape[0]
-    # Pair areas, row-chunked with all-invalid-chunk skipping: the caller
-    # passes score-sorted candidates (invalid last), and an invalid i never
-    # kills, so skipped rows can safely report zero area. Cost scales with
-    # n_valid * C instead of C^2 (the reference's FilterWithScore also cuts
+    # Pair areas, chunked along BOTH axes with all-invalid-chunk skipping:
+    # the caller passes score-sorted candidates (invalid last); an invalid
+    # i never kills and an invalid j needs no kill decision, so skipped
+    # chunks safely report zero area. Cost therefore scales with
+    # n_valid^2 instead of C^2 (the reference's FilterWithScore also cuts
     # below-threshold candidates before the rect filter,
     # MatchToolDlg.cpp:1050-1067).
     from ..utils.chunking import chunked_map
 
+    col_chunk = min(C, 64)
+
     def row_chunk(q_rows):
-        return jax.vmap(lambda qa: jax.vmap(
-            lambda qb: quad_intersection_area(qa, qb))(quads))(q_rows)
+        def cols(q_cols):
+            return jax.vmap(lambda qb: jax.vmap(
+                lambda qa: quad_intersection_area(qa, qb))(q_rows))(q_cols)
+        # [C, rows] (cols-major from the inner chunking), transposed back.
+        a = chunked_map(cols, quads, C, col_chunk, pred=valid)
+        return a.T
 
     pair_area = chunked_map(row_chunk, quads, C, min(C, 64),
                             pred=valid)  # [C, C]

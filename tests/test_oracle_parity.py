@@ -101,3 +101,22 @@ def test_oracle_parity_test1_src9_recall():
     assert len(res) == 4, got
     want = [0.999, 0.764, 0.764, 0.703]
     assert all(abs(g - w) < 0.01 for g, w in zip(got, want)), got
+
+
+@pytest.mark.parametrize("mra", [64, 1024])
+def test_oracle_parity_min_reduce_area(mra):
+    """Pyramid-depth extremes (min_reduce_area 64 / 1024 — the validated
+    UI range ends, MatchToolDlg.cpp:115) against the independent cv2
+    oracle on the real Src4/Dst4 pair (round-5 golden-matrix widening)."""
+    import os
+    TI = "/root/reference/Test Images"
+    if not os.path.exists(f"{TI}/Src4.bmp"):
+        pytest.skip("assets unavailable")
+    from fastest_image_pattern_matching_tpu.utils.imageio import load_gray
+    src = load_gray(f"{TI}/Src4.bmp")
+    tpl = load_gray(f"{TI}/Dst4.bmp")
+    kw = dict(max_pos=5, score=0.8, tolerance_angle=180.0, max_overlap=0.1,
+              min_reduce_area=mra)
+    res = match(src, learn_pattern(tpl, mra), MatchConfig(**kw))
+    oracle = oracle_match(src, tpl, **kw)
+    _compare(res, oracle, score_tol=0.02, ang_tol=1.0, pos_tol=2.0)
