@@ -72,12 +72,23 @@ def main():
     # come back zero-filled. A subprocess probe would claim/release the
     # device and poison this process's own claim, so probe inline.
     import jax.numpy as jnp
-    v = float((jnp.arange(1024, dtype=jnp.float32) * 2).sum())
-    if abs(v - 1047552.0) > 1.0:
+    for attempt in range(5):
+        v = float((jnp.arange(1024, dtype=jnp.float32) * 2).sum()
+                  + np.float32(attempt))
+        if abs(v - (1047552.0 + attempt)) <= 1.0:
+            break
+        # Mid-wedge buffers can read back zero-filled; that is a tunnel
+        # phase, not a permanent failure — wait and re-probe before
+        # declaring the round's headline unmeasurable.
+        print(f"bench: device returned garbage ({v}); re-probing",
+              file=sys.stderr, flush=True)
+        time.sleep(60.0)
+    else:
         print(json.dumps({
             "metric": "src7_flagship_e2e_ms", "value": -1.0, "unit": "ms",
             "vs_baseline": 0.0,
-            "detail": {"error": f"device returned garbage ({v})"},
+            "detail": {"error": f"device returned garbage ({v}) after "
+                       "5 probes over 4 min"},
         }))
         return 1
 
@@ -95,12 +106,18 @@ def main():
     import jax.numpy as jnp
     scene_dev = jnp.asarray(scene, jnp.float32)
 
-    # Warmup / compile.
-    res = fipm.match(scene_dev, pattern, cfg)
-    n_found = len(res)
-    # Semantic validation: the three planted targets must be found with
-    # high scores — guards against mid-wedge garbage buffers.
-    if n_found != 3 or any(r.score < 0.9 for r in res):
+    # Warmup / compile. Semantic validation: the three planted targets
+    # must be found with high scores — guards against mid-wedge garbage
+    # buffers; transient garbage gets a bounded re-try like the probe.
+    for attempt in range(3):
+        res = fipm.match(scene_dev + np.float32(attempt), pattern, cfg)
+        n_found = len(res)
+        if n_found == 3 and all(r.score >= 0.9 for r in res):
+            break
+        print(f"bench: semantic validation failed (found={n_found}); "
+              "re-trying", file=sys.stderr, flush=True)
+        time.sleep(60.0)
+    else:
         print(json.dumps({
             "metric": "src7_flagship_e2e_ms", "value": -1.0, "unit": "ms",
             "vs_baseline": 0.0,
@@ -136,7 +153,7 @@ def main():
     for rnd in range(3):
         health = claim_healthy_window(
             max_wait_s=600.0 if rnd == 0 else 300.0,
-            floor_threshold_ms=26.0,
+            floor_threshold_ms=27.0,
             log=lambda m: print(m, file=sys.stderr, flush=True))
         variants = [scene_dev + np.float32(off + i)
                     for i in range(1, iters + 1)]
@@ -159,7 +176,7 @@ def main():
             }))
             return 1
         ms = rms if ms is None else min(ms, rms)
-        # Accept only a genuinely healthy window (trivial floor <= 26 ms
+        # Accept only a genuinely healthy window (trivial floor <= 27 ms
         # — the tunnel's good phase) whose median sits near the known
         # floor+overhead+compute profile (PROFILE_r05: ~24+24+7). A
         # higher median means the window moved mid-measurement:

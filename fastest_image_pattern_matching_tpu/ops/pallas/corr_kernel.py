@@ -53,11 +53,11 @@ what the conformance tests pin, but an adversarial constant-extreme
 canvas can round by ULPs. The int8 path is preferred wherever its
 (stricter-input, wider-accumulator) bound holds.
 
-Tuning knobs (static args; defaults are the on-chip sweep winners —
-Test7 shape B16: int8 6.73 ms, bf16 7.62 ms vs 6.92/8.11 for the
-initial 256/4/split config): tile_rows = accumulator tile rows,
-row_tiles = tiles per grid step, merge_ab = one dot per residue (A and
-B operands lane-concatenated) instead of two.
+Tuning knobs (static args; defaults are the round-5 v2 on-chip sweep
+winners, AUTOTUNE_r05.json — Test7 shape int8: B1 0.51 ms, B16 2.8 ms):
+tile_rows = accumulator tile rows (default 128), row_tiles = tiles per
+grid step, merge_ab = one dot per residue (A and B operands
+lane-concatenated) instead of two.
 """
 
 from __future__ import annotations
