@@ -3,6 +3,7 @@ contourArea (the reference's FilterWithRotatedRect, MatchToolDlg.cpp:1498-1557).
 
 import cv2
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from fastest_image_pattern_matching_tpu.ops.nms import (
@@ -93,6 +94,42 @@ def test_filter_overlaps_matches_sequential_greedy(rng):
             for j in range(C):
                 pair[i, j] = float(quad_intersection_area(
                     jnp.asarray(qn[i]), jnp.asarray(qn[j])))
+        conflict = (pair >= w * h * (1 - 1e-6)) | (pair / (w * h) > 0.25)
+        alive = valid.copy()
+        for i in range(C):
+            if not alive[i]:
+                continue
+            for j in range(i + 1, C):
+                if alive[j] and conflict[i, j]:
+                    alive[j] = False
+        assert got.tolist() == alive.tolist(), trial
+
+
+def test_filter_overlaps_two_axis_chunking_fuzz(rng):
+    """C > 64 exercises the round-5 two-axis chunk skipping (row AND
+    column chunks, interior all-dead chunks included via unsorted valid
+    patterns); must still equal the sequential greedy oracle."""
+    for trial in range(3):
+        r = np.random.default_rng(300 + trial)
+        C = 200
+        pts = r.uniform(0, 160, (C, 2)).astype(np.float32)
+        angs = r.uniform(-180, 180, C).astype(np.float32)
+        valid = r.random(C) > 0.5
+        # Kill a whole interior block so a middle chunk is all-dead on
+        # both axes.
+        valid[64:128] = False
+        w, h = 22.0, 14.0
+        quads = rotated_rect_corners(jnp.asarray(pts), jnp.asarray(angs),
+                                     w, h)
+        got = np.asarray(filter_overlaps(
+            quads, jnp.asarray(valid), w * h, 0.25))
+
+        qn = np.asarray(quads)
+        # Vectorized-ish oracle: areas only where needed.
+        conflict = np.zeros((C, C), bool)
+        area_fn = jax.jit(jax.vmap(jax.vmap(
+            quad_intersection_area, (None, 0)), (0, None)))
+        pair = np.asarray(area_fn(jnp.asarray(qn), jnp.asarray(qn)))
         conflict = (pair >= w * h * (1 - 1e-6)) | (pair / (w * h) > 0.25)
         alive = valid.copy()
         for i in range(C):
