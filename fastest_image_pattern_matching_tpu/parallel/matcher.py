@@ -15,7 +15,12 @@ The template pyramid and per-angle constants are replicated; cross-device
 traffic is two tiny peak/candidate lists riding ICI. Both the top-layer
 sweep AND the pyramid descent (the dominant on-chip cost, PROFILE_r03)
 scale with the angle axis; only finalize's NMS is replicated within an
-angle group. This completes SURVEY §7 step 7: images and candidate
+angle group — deliberately: the greedy suppression is sequential in
+score order (each round's decisions feed the next), so sharding it
+would trade a ~1-3 ms stage whose cost now scales with n_valid^2
+(ops/nms.py two-axis chunk skipping) for per-round ICI round trips on
+the decision masks. Replication is the faster design at every measured
+candidate count (PROFILE_r05: finalize <=1 ms on the flagship). This completes SURVEY §7 step 7: images and candidate
 angles sharded data-parallel, per-shard work, all_gather merge.
 
 Exactness vs single-chip: candidates are descended independently (same
