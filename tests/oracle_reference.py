@@ -86,7 +86,13 @@ def _subpix(patches, step_deg):
 
 def oracle_match(src: np.ndarray, templ: np.ndarray, max_pos=10,
                  max_overlap=0.1, score=0.7, tolerance_angle=180.0,
-                 min_reduce_area=256, use_subpixel=True) -> List[OracleMatch]:
+                 min_reduce_area=256, use_subpixel=True,
+                 fast_mode=False, tolerance_ranges=None) -> List[OracleMatch]:
+    """fast_mode mirrors m_bStopLayer1: descent stops at layer 1; final
+    positions scale x2, the NMS rects use the layer-1 template dims x2,
+    result corners still use the level-0 dims (as the TPU finalize
+    does)."""
+    stop = 1 if fast_mode else 0
     src = np.asarray(src, np.uint8)
     templ = np.asarray(templ, np.uint8)
     top = _top_layer(templ, min_reduce_area)
@@ -94,7 +100,8 @@ def oracle_match(src: np.ndarray, templ: np.ndarray, max_pos=10,
     spyr = _build_pyr(src, top)
     border = 255 if float(templ.mean()) < 128 else 0
 
-    angles = geometry.angle_schedule(tpyr[top].shape, tolerance_angle)
+    angles = geometry.angle_schedule(tpyr[top].shape, tolerance_angle,
+                                     tolerance_ranges)
     layer_scores = [score * (0.9 ** l) for l in range(top + 1)]
 
     sh, sw = spyr[top].shape
@@ -126,15 +133,16 @@ def oracle_match(src: np.ndarray, templ: np.ndarray, max_pos=10,
         cur_ang = ang
         cur_score = v
         alive = True
-        if top == 0:
+        if top <= stop:
             results.append((cur_score, tuple(ptLT), cur_ang))
             continue
-        for l in range(top - 1, -1, -1):
+        for l in range(top - 1, stop - 1, -1):
             th_l, tw_l = tpyr[l].shape
             sh_l, sw_l = spyr[l].shape
             ccx, ccy = (sw_l - 1) / 2.0, (sh_l - 1) / 2.0
             step = geometry.angle_step((th_l, tw_l))
-            if tolerance_angle < VISION_TOLERANCE:
+            if tolerance_ranges is None and \
+                    tolerance_angle < VISION_TOLERANCE:
                 angs = [0.0]
             else:
                 angs = [cur_ang - step, cur_ang, cur_ang + step]
@@ -181,19 +189,25 @@ def oracle_match(src: np.ndarray, templ: np.ndarray, max_pos=10,
         if alive:
             results.append((cur_score, tuple(ptLT), cur_ang))
 
-    # FilterWithScore + rotated-rect NMS + assembly.
-    results = [r for r in results if r[0] >= score]
+    # FilterWithScore + rotated-rect NMS + assembly. With fast_mode the
+    # descent stopped at layer 1: positions scale x2 and the NMS rects
+    # use the layer-1 template dims x2 (the TPU finalize's convention).
+    scale = 2.0 if stop == 1 else 1.0
+    results = [(sc, (lt[0] * scale, lt[1] * scale), ang)
+               for (sc, lt, ang) in results if sc >= score]
     results.sort(key=lambda r: -r[0])
     H0, W0 = templ.shape
+    rh, rw = (tpyr[stop].shape[0] * scale, tpyr[stop].shape[1] * scale) \
+        if stop else (float(H0), float(W0))
     keep = []
     for (sc, lt, ang) in results:
         ra = -ang * D2R
         c, s = math.cos(ra), math.sin(ra)
         quad = np.float32([
             lt,
-            (lt[0] + W0 * c, lt[1] - W0 * s),
-            (lt[0] + W0 * c + H0 * s, lt[1] - W0 * s + H0 * c),
-            (lt[0] + H0 * s, lt[1] + H0 * c)])
+            (lt[0] + rw * c, lt[1] - rw * s),
+            (lt[0] + rw * c + rh * s, lt[1] - rw * s + rh * c),
+            (lt[0] + rh * s, lt[1] + rh * c)])
         r_new = cv2.minAreaRect(quad)
         dead = False
         for (_, kq) in keep:
@@ -205,7 +219,7 @@ def oracle_match(src: np.ndarray, templ: np.ndarray, max_pos=10,
             if kind == cv2.INTERSECT_PARTIAL and pts is not None \
                     and len(pts) >= 3:
                 area = cv2.contourArea(cv2.convexHull(pts.reshape(-1, 2)))
-                if area / (W0 * H0) > max_overlap:
+                if area / (rw * rh) > max_overlap:
                     dead = True
                     break
         if not dead:
@@ -215,7 +229,15 @@ def oracle_match(src: np.ndarray, templ: np.ndarray, max_pos=10,
 
     out = []
     for ((sc, lt, ang), quad) in keep:
-        cxy = quad.mean(axis=0)
+        # Result corners always use the level-0 dims (finalize parity).
+        ra = -ang * D2R
+        c, s = math.cos(ra), math.sin(ra)
+        q0 = np.float32([
+            lt,
+            (lt[0] + W0 * c, lt[1] - W0 * s),
+            (lt[0] + W0 * c + H0 * s, lt[1] - W0 * s + H0 * c),
+            (lt[0] + H0 * s, lt[1] + H0 * c)])
+        cxy = q0.mean(axis=0)
         oa = -ang
         if oa < -180:
             oa += 360

@@ -120,3 +120,38 @@ def test_oracle_parity_min_reduce_area(mra):
     res = match(src, learn_pattern(tpl, mra), MatchConfig(**kw))
     oracle = oracle_match(src, tpl, **kw)
     _compare(res, oracle, score_tol=0.02, ang_tol=1.0, pos_tol=2.0)
+
+
+def test_oracle_parity_fast_mode():
+    """fast_mode (m_bStopLayer1: descent stops at layer 1) against the
+    cv2 oracle on the real Src9/Dst9 pair. Tolerances are looser: the
+    half-resolution stop quantizes positions to ~2 px."""
+    import os
+    TI = "/root/reference/Test Images"
+    if not os.path.exists(f"{TI}/Src9.bmp"):
+        pytest.skip("assets unavailable")
+    from fastest_image_pattern_matching_tpu.utils.imageio import load_gray
+    src = load_gray(f"{TI}/Src9.bmp")
+    tpl = load_gray(f"{TI}/Dst9.bmp")
+    kw = dict(max_pos=5, score=0.5, tolerance_angle=180.0, max_overlap=0.2,
+              min_reduce_area=256, fast_mode=True)
+    res = match(src, learn_pattern(tpl, 256), MatchConfig(**kw))
+    oracle = oracle_match(src, tpl, **kw)
+    _compare(res, oracle, score_tol=0.03, ang_tol=1.5, pos_tol=3.0)
+
+
+def test_oracle_parity_dual_range():
+    """Dual tolerance ranges (m_bToleranceRange) against the cv2 oracle
+    on the real Src8/Dst8 pair (the src8_dualrange golden config)."""
+    import os
+    TI = "/root/reference/Test Images"
+    if not os.path.exists(f"{TI}/Src8.bmp"):
+        pytest.skip("assets unavailable")
+    from fastest_image_pattern_matching_tpu.utils.imageio import load_gray
+    src = load_gray(f"{TI}/Src8.bmp")
+    tpl = load_gray(f"{TI}/Dst8.bmp")
+    kw = dict(max_pos=3, score=0.5, max_overlap=0.2, min_reduce_area=256,
+              tolerance_ranges=(-30.0, -5.0, 10.0, 40.0))
+    res = match(src, learn_pattern(tpl, 256), MatchConfig(**kw))
+    oracle = oracle_match(src, tpl, **kw)
+    _compare(res, oracle, score_tol=0.02, ang_tol=1.0, pos_tol=2.0)
